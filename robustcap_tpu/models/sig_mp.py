@@ -1,0 +1,492 @@
+r"""SigMP: the six-LSTM camera+IMU fusion network as a branchless scan step.
+
+TPU-native rebuild of the reference's ``net/sig_mp.py``. The reference runs
+one Python call per frame with data-dependent branching and mutable hidden
+state (``Net.forward_online``, sig_mp.py:114-274). Here the whole per-frame
+computation is a **pure function** ``step(params, carry, frame) -> (carry,
+(pose, tran))`` in which every reference branch is expressed with masked
+updates (``jnp.where``) so that
+
+* offline evaluation is ``lax.scan`` over time and ``vmap``/``shard_map``
+  over sequences — thousands of frames per device step instead of one,
+* live streaming jits the single step once and reuses it with a donated
+  carry,
+* the *hidden-state-advance semantics* are bit-identical to the reference:
+  which RNNs step on which frames (visual branch only when confident or on
+  the first frame, sig_mp.py:149; the double rnn6 step on first frames,
+  sig_mp.py:156,161; the occluded-frame synthetic refeed of rnn4/rnn6,
+  sig_mp.py:263-271; the one-shot re-init of rnn2's state from vision,
+  sig_mp.py:178-183).
+
+Network bank (sig_mp.py:52-81) — all 2-layer LSTMs, torch-layout params:
+
+  name | input                          | out   | hidden
+  rnn2 | 72 imu (root frame)            | 23x3  | 512   (+ init-state MLP)
+  rnn3 | 72 + 69 joints                 | 3 vel | 512
+  rnn4 | 72 (cam) + 33x3 kp             | 23x3  | 1280
+  rnn6 | 72 + 99 + 69                   | 3 pos | 1024
+  rnn7 | 72 + 69                        | 24x6  | 512
+  rnn8 | 72 + 69                        | 2     | 512
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import math as M
+from ..config import (IMU_JOINT_MASK, MP_VERTEX_MASK, SigMPConfig, VEL_SCALE)
+from ..nn.rnn import (init_net_apply, init_rnn_params, init_state,
+                      rnn_params_from_torch, rnn_step)
+from ..smpl.model import ParametricModel
+
+__all__ = [
+    "RNN_SPECS", "init_params", "init_carry", "make_step", "forward_offline",
+    "forward_offline_batched", "StreamingNet", "params_from_torch_state_dict",
+    "load_torch_checkpoint", "get_bbox_scale", "sync_mp3d",
+]
+
+# (input_size, output_size, hidden_size, dropout, with_init_net)
+RNN_SPECS = {
+    "rnn2": (72, 69, 512, 0.4, True),
+    "rnn3": (141, 3, 512, 0.4, False),
+    "rnn4": (171, 69, 1280, 0.4, False),
+    "rnn6": (240, 3, 1024, 0.4, False),
+    "rnn7": (141, 144, 512, 0.1, False),
+    "rnn8": (141, 2, 512, 0.4, False),
+}
+
+_MP_MASK = np.asarray(MP_VERTEX_MASK, np.int32)
+_JI_MASK = np.asarray(IMU_JOINT_MASK, np.int32)
+DEFAULT_GRAVITY = np.array([-0.0029, 0.9980, -0.0273], np.float32)
+
+
+# ---------------------------------------------------------------------------
+# Parameters
+# ---------------------------------------------------------------------------
+
+
+def init_params(key, specs=None, dtype=jnp.float32) -> Dict:
+    r"""Random parameters. ``specs`` overrides hidden sizes (tests use small
+    widths; the default is the reference's layout)."""
+    specs = RNN_SPECS if specs is None else specs
+    keys = jax.random.split(key, len(specs))
+    params = {}
+    for k, (name, (i, o, h, _, with_init)) in zip(keys, specs.items()):
+        params[name] = init_rnn_params(k, i, o, h, 2, with_init, dtype)
+    return params
+
+
+def params_from_torch_state_dict(state_dict, dtype=jnp.float32) -> Dict:
+    r"""Convert the reference's merged ``best_weights.pt`` state_dict
+    (numpy values) into our parameter pytree (sig_mp.py:850-857 layout)."""
+    return {name: rnn_params_from_torch(state_dict, prefix=f"{name}.",
+                                        dtype=dtype)
+            for name in RNN_SPECS}
+
+
+def load_torch_checkpoint(path, dtype=jnp.float32) -> Dict:
+    import torch
+    sd = torch.load(path, map_location="cpu")
+    sd = {k: v.detach().numpy() for k, v in sd.items()}
+    return params_from_torch_state_dict(sd, dtype)
+
+
+# ---------------------------------------------------------------------------
+# Small helpers (reference parity)
+# ---------------------------------------------------------------------------
+
+
+def get_bbox_scale(uv: jnp.ndarray) -> jnp.ndarray:
+    r"""max(bbox width, bbox height) over keypoint x/y (sig_mp.py:277-284)."""
+    du = uv[..., 0].max(-1) - uv[..., 0].min(-1)
+    dv = uv[..., 1].max(-1) - uv[..., 1].min(-1)
+    return jnp.maximum(du, dv)
+
+
+def _bbox_center_normalize(j2dc: jnp.ndarray) -> jnp.ndarray:
+    r"""CLIFF-style keypoint normalization (sig_mp.py:150-152): divide x/y by
+    the bbox scale, then root-center every row *except* row 23 around the
+    (pre-centering) row 23."""
+    scale = get_bbox_scale(j2dc)
+    xy = j2dc[:, :2] / scale
+    center = xy[23:24]
+    xy_centered = xy - center
+    xy_out = xy_centered.at[23].set(xy[23])
+    return jnp.concatenate([xy_out, j2dc[:, 2:]], axis=1)
+
+
+def sync_mp3d(vert_mp: jnp.ndarray, joint: jnp.ndarray) -> jnp.ndarray:
+    r"""Synthesize the 33 MediaPipe 3-D landmarks from (already-gathered)
+    mask vertices + joints (sig_mp.py:287-299): limbs/hips/knees/ankles are
+    overwritten with true joint positions."""
+    syn = vert_mp
+    syn = syn.at[11:17].set(joint[16:22])
+    syn = syn.at[23:25].set(joint[1:3])
+    syn = syn.at[25:27].set(joint[4:6])
+    syn = syn.at[27:29].set(joint[7:9])
+    return syn
+
+
+def _cat(*xs):
+    return jnp.concatenate([x.reshape(-1) for x in xs])
+
+
+# ---------------------------------------------------------------------------
+# Carry
+# ---------------------------------------------------------------------------
+
+
+def init_carry(params, dtype=jnp.float32) -> Dict:
+    r"""Fresh streaming state — the functional analog of ``reset_states``
+    (sig_mp.py:95-104) plus the live vision-updater counter
+    (sig_mp.py:43-45)."""
+    return {
+        "states": {name: init_state(params[name], (), dtype)
+                   for name in RNN_SPECS},
+        "last_pfoot": jnp.zeros((2, 3), dtype),
+        "has_pfoot": jnp.asarray(False),
+        "last_tran": jnp.zeros((3,), dtype),
+        "has_tran": jnp.asarray(False),
+        "floor_buf": jnp.zeros((11, 3), dtype),
+        "floor_cnt": jnp.asarray(0, jnp.int32),
+        "first_reach": jnp.asarray(True),
+        "vision_count": jnp.asarray(0, jnp.int32),
+        "j_temp": jnp.zeros((33, 3), dtype),
+    }
+
+
+def make_frame(j2dc, accc, oric, first_tran=None, first_frame=False,
+               gravityc=None, dtype=jnp.float32):
+    r"""Build one frame-input pytree (``forward_online``'s arguments)."""
+    return {
+        "j2dc": jnp.asarray(j2dc, dtype).reshape(33, 3),
+        "accc": jnp.asarray(accc, dtype).reshape(6, 3),
+        "oric": jnp.asarray(oric, dtype).reshape(6, 3, 3),
+        "first_tran": (jnp.zeros(3, dtype) if first_tran is None
+                       else jnp.asarray(first_tran, dtype).reshape(3)),
+        "first_tran_valid": jnp.asarray(first_tran is not None),
+        "first_frame": jnp.asarray(bool(first_frame)),
+        "gravityc": (jnp.asarray(DEFAULT_GRAVITY, dtype) if gravityc is None
+                     else jnp.asarray(gravityc, dtype).reshape(3)),
+    }
+
+
+# ---------------------------------------------------------------------------
+# The step
+# ---------------------------------------------------------------------------
+
+
+def _masked_state(cond, new, old):
+    return jax.tree.map(lambda n, o: jnp.where(cond, n, o), new, old)
+
+
+def make_step(body_model: ParametricModel, cfg: SigMPConfig):
+    r"""Build the pure per-frame step closure over body-model constants.
+
+    Returns ``step(params, carry, frame) -> (carry, (pose [24,3,3], tran [3]))``
+    with semantics identical to ``Net.forward_online`` (sig_mp.py:114-274).
+    """
+    parent_clamped = jnp.asarray(body_model.tree.parent_clamped)
+    ancestor = jnp.asarray(body_model.tree.ancestor_matrix)
+    # zero-pose bone vectors, [24, 3] (the reference's self.b, sig_mp.py:83-84)
+    bone = jnp.asarray(body_model._bone_vector)
+    conf_lo, conf_hi = cfg.conf_range
+    inv_range = 1.0 / (conf_hi - conf_lo)
+
+    def light_fk(glb_pose):
+        r"""Joint positions from *global* rotations via bone vectors
+        (sig_mp.py:131-135): pb[i] = R_glb[parent[i]] @ b[i], prefix-summed
+        down the tree with the ancestor matrix."""
+        pb = (glb_pose[parent_clamped] @ bone[:, :, None])[..., 0]
+        pb = pb.at[0].set(0.0)
+        return ancestor @ pb
+
+    def step(params, carry, frame):
+        st = carry["states"]
+        j2dc, accc, oric = frame["j2dc"], frame["accc"], frame["oric"]
+        first_frame = frame["first_frame"]
+        first_tran_valid = frame["first_tran_valid"]
+        gravityc = frame["gravityc"]
+
+        # -- visual confidence & root-in-camera rotation (sig_mp.py:138-139)
+        c = jnp.mean(j2dc[:, 2])
+        Rcr = oric[-1]
+
+        # -- inertial branch (sig_mp.py:142-145): rotate into root frame
+        accr = accc @ Rcr
+        orir = Rcr.T @ oric
+        out2, st2_new = rnn_step(params["rnn2"], _cat(accr, orir), st["rnn2"])
+        j3dr_i = out2
+        out3, st3_new = rnn_step(params["rnn3"], _cat(accr, orir, j3dr_i),
+                                 st["rnn3"])
+        vr = out3
+
+        # -- visual branch (sig_mp.py:148-157): bbox-normalized keypoints.
+        # rnn4's state advances only when confident or on the first frame.
+        j2dc_norm = _bbox_center_normalize(j2dc)
+        vis_ran = (c > conf_lo) | first_frame
+        out4, st4_new = rnn_step(params["rnn4"], _cat(accc, oric, j2dc_norm),
+                                 st["rnn4"])
+        st4_mid = _masked_state(vis_ran, st4_new, st["rnn4"])
+        j3dc = out4
+        j3dr_v = j3dc.reshape(23, 3) @ Rcr
+
+        # rnn6 can step twice on a first frame (sig_mp.py:156 then :161/165)
+        in6 = _cat(accc, oric, j2dc, j3dc)
+        out6_a, st6_a = rnn_step(params["rnn6"], in6, st["rnn6"])
+        st6_mid = _masked_state(first_frame, st6_a, st["rnn6"])
+        out6_b, st6_b = rnn_step(params["rnn6"], in6, st6_mid)
+        conf_vis = c > conf_lo
+        st6_after = _masked_state(conf_vis, st6_b, st6_mid)
+        pc = jnp.where(conf_vis, out6_b, out6_a).reshape(3)
+
+        # -- confidence-gated lerp (sig_mp.py:159-167)
+        k_lerp = jnp.clip((c - conf_lo) * inv_range, 0.0, 1.0)
+        j3dr = jnp.where(
+            c >= conf_hi, j3dr_v.reshape(-1),
+            jnp.where(c > conf_lo,
+                      M.lerp(j3dr_i.reshape(-1), j3dr_v.reshape(-1), k_lerp),
+                      j3dr_i.reshape(-1)))
+
+        # -- heads (sig_mp.py:169-170)
+        out7, st7_new = rnn_step(params["rnn7"], _cat(accr, orir, j3dr),
+                                 st["rnn7"])
+        out8, st8_new = rnn_step(params["rnn8"], _cat(accr, orir, j3dr),
+                                 st["rnn8"])
+        contact = jax.nn.sigmoid(out8)
+
+        # -- pose: r6d -> global R -> local pose, root := Rcr (sig_mp.py:173-175)
+        poseg = M.r6d_to_rotation_matrix(out7).reshape(24, 3, 3)
+        pose = M.inverse_kinematics_R(poseg[None], body_model.tree)[0]
+        pose = pose.at[0].set(Rcr)
+
+        # -- one-shot inertial hidden-state re-init from vision
+        # (sig_mp.py:178-183)
+        if cfg.use_imu_updater:
+            iu_cond = (c >= conf_hi) & carry["first_reach"]
+            h_i, c_i = init_net_apply(params["rnn2"], j3dr[None, :])
+            st2_final = _masked_state(iu_cond, (h_i[:, 0], c_i[:, 0]), st2_new)
+            first_reach = carry["first_reach"] & ~(c >= conf_hi)
+        else:
+            st2_final = st2_new
+            first_reach = carry["first_reach"]
+
+        # -- translation from contacts / network velocity (sig_mp.py:186-194)
+        pfoot = light_fk(poseg)[10:12] @ Rcr.T
+        cmax = contact.max()
+        v_net = (Rcr @ vr.reshape(3, 1)).reshape(3) * (VEL_SCALE / 60.0)
+        d_foot = carry["last_pfoot"] - pfoot
+        v_contact = jnp.where(jnp.argmax(contact) == 0, d_foot[0], d_foot[1])
+        use_net = (cmax < cfg.contact_threshold) | ~carry["has_pfoot"]
+        v = jnp.where(use_net, v_net, v_contact)
+        tran = jnp.where(carry["has_tran"], carry["last_tran"] + v, v)
+
+        # -- visual absolute-position fusion (sig_mp.py:196-203)
+        snap_far = (jnp.linalg.norm(pc - tran) > cfg.distance_threshold) \
+            | (cfg.tran_filter_num > 1)
+        tran_vis = jnp.where(snap_far, pc,
+                             M.lerp(tran, pc, cfg.tran_filter_num * k_lerp))
+        tran = jnp.where(c >= conf_hi, tran_vis, tran)
+
+        # -- flat-floor constraint with a ring of contact heights
+        # (sig_mp.py:205-221); the "last 6 of 11" window is static because
+        # appends stop at 11 entries.
+        p0 = jnp.dot(pfoot[0] + tran, gravityc) * gravityc
+        p1 = jnp.dot(pfoot[1] + tran, gravityc) * gravityc
+        lower = jnp.where(jnp.linalg.norm(p0) < jnp.linalg.norm(p1), p1, p0)
+        floor_buf, floor_cnt = carry["floor_buf"], carry["floor_cnt"]
+        if cfg.use_flat_floor:
+            append = ((floor_cnt < 11) & ~first_frame & ~first_tran_valid
+                      & (cmax > cfg.contact_threshold) & (c >= conf_hi))
+            buf_new = jax.lax.dynamic_update_slice(
+                floor_buf, lower[None], (floor_cnt, 0))
+            floor_buf = jnp.where(append, buf_new, floor_buf)
+            floor_cnt = floor_cnt + append.astype(jnp.int32)
+
+            snap = (floor_cnt > 10) & (cmax > cfg.contact_threshold)
+            m = jnp.mean(floor_buf[5:11], axis=0)
+            use_p1 = ((jnp.linalg.norm(p0) < jnp.linalg.norm(p1))
+                      & (jnp.linalg.norm(m - p1) < cfg.height_threshold))
+            delta = jnp.where(
+                use_p1, m - p1,
+                jnp.where(jnp.linalg.norm(m - p0) < cfg.height_threshold,
+                          m - p0, 0.0))
+            tran = jnp.where(snap, tran + delta, tran)
+
+        # -- first-frame overrides (sig_mp.py:222-225)
+        tran = jnp.where(first_tran_valid, frame["first_tran"],
+                         jnp.where(first_frame, pc, tran))
+
+        # -- synthetic landmark resynthesis for occluded frames
+        # (sig_mp.py:228-242): FK + 33-vertex LBS. In live mode the mesh is
+        # recomputed only when the throttle counter hits zero and reused from
+        # j_temp otherwise (sig_mp.py:233-242).
+        vision_count = carry["vision_count"]
+        j_temp = carry["j_temp"]
+        joint = jnp.zeros((24, 3))
+        j_lm = jnp.zeros((33, 3))
+        if cfg.use_reproj_opt or cfg.use_vision_updater:
+            _, joint_b, vert_b = body_model.forward_kinematics(
+                pose[None], tran=tran[None], calc_mesh=True,
+                vertex_ids=_MP_MASK)
+            joint = joint_b[0]
+            j_computed = sync_mp3d(vert_b[0], joint)
+            if cfg.live:
+                fk_now = vision_count == 0
+                j_lm = jnp.where(fk_now, j_computed, j_temp)
+                j_temp = j_lm
+                vision_count = jnp.where(fk_now, cfg.update_vision_freq,
+                                         vision_count - 1)
+            else:
+                j_lm = j_computed
+
+        # -- closed-form reprojection refinement (sig_mp.py:244-261, off by
+        # default): weighted least-squares delta for x/y then z.
+        if cfg.use_reproj_opt:
+            p_conf = j2dc[:, 2]
+            jx, jy, jz = j_lm[:, 0], j_lm[:, 1], j_lm[:, 2]
+            axy = jnp.sum(p_conf / jz ** 2) + cfg.smooth
+            bx = jnp.sum(p_conf * (-jx / jz ** 2 + j2dc[:, 0] / jz))
+            by = jnp.sum(p_conf * (-jy / jz ** 2 + j2dc[:, 1] / jz))
+            d_xy = jnp.stack([bx / axy, by / axy, jnp.zeros(())])
+            do_opt = c > conf_lo
+            tran = jnp.where(do_opt, tran + d_xy, tran)
+            j_lm = jnp.where(do_opt, j_lm + d_xy, j_lm)
+            jx, jy, jz = j_lm[:, 0], j_lm[:, 1], j_lm[:, 2]
+            az = jnp.sum(p_conf * (jx ** 2 + jy ** 2) / jz ** 4) + cfg.smooth
+            bz = jnp.sum(p_conf * ((jx / jz - j2dc[:, 0]) * jx / jz ** 2
+                                   + (jy / jz - j2dc[:, 1]) * jy / jz ** 2))
+            d_z = jnp.stack([jnp.zeros(()), jnp.zeros(()), bz / az])
+            tran = jnp.where(do_opt, tran + d_z, tran)
+            j_lm = jnp.where(do_opt, j_lm + d_z, j_lm)
+
+        # -- occluded-frame hidden-state refeed of rnn6/rnn4 with synthetic
+        # keypoints (sig_mp.py:263-271)
+        if cfg.use_vision_updater:
+            vu_cond = c <= conf_lo
+            if cfg.live:
+                vu_cond = vu_cond & (vision_count == cfg.update_vision_freq)
+            j2dc_syn = j_lm / j_lm[:, 2:]
+            j3dc_syn = joint[1:] - joint[:1]
+            _, st6_syn = rnn_step(params["rnn6"],
+                                  _cat(accc, oric, j2dc_syn, j3dc_syn),
+                                  st6_after)
+            st6_final = _masked_state(vu_cond, st6_syn, st6_after)
+            j2dc_syn = _bbox_center_normalize(j2dc_syn)
+            _, st4_syn = rnn_step(params["rnn4"], _cat(accc, oric, j2dc_syn),
+                                  st4_mid)
+            st4_final = _masked_state(vu_cond, st4_syn, st4_mid)
+        else:
+            st6_final = st6_after
+            st4_final = st4_mid
+
+        new_carry = {
+            "states": {"rnn2": st2_final, "rnn3": st3_new, "rnn4": st4_final,
+                       "rnn6": st6_final, "rnn7": st7_new, "rnn8": st8_new},
+            "last_pfoot": pfoot,
+            "has_pfoot": jnp.asarray(True),
+            "last_tran": tran,
+            "has_tran": jnp.asarray(True),
+            "floor_buf": floor_buf,
+            "floor_cnt": floor_cnt,
+            "first_reach": first_reach,
+            "vision_count": vision_count,
+            "j_temp": j_temp,
+        }
+        return new_carry, (pose, tran)
+
+    return step
+
+
+# ---------------------------------------------------------------------------
+# Offline (scan) and streaming drivers
+# ---------------------------------------------------------------------------
+
+
+def _sequence_frames(j2dc, accc, oric, first_tran, first_frame, gravityc,
+                     dtype=jnp.float32):
+    r"""Stack per-frame inputs for scan. ``first_tran``/``first_frame`` apply
+    to frame 0 only, matching evaluate.py:75-81."""
+    T = j2dc.shape[0]
+    idx0 = jnp.arange(T) == 0
+    if gravityc is None:
+        gravityc = jnp.broadcast_to(jnp.asarray(DEFAULT_GRAVITY, dtype), (T, 3))
+    else:
+        gravityc = jnp.broadcast_to(
+            jnp.asarray(gravityc, dtype).reshape(-1, 3), (T, 3))
+    return {
+        "j2dc": jnp.asarray(j2dc, dtype).reshape(T, 33, 3),
+        "accc": jnp.asarray(accc, dtype).reshape(T, 6, 3),
+        "oric": jnp.asarray(oric, dtype).reshape(T, 6, 3, 3),
+        "first_tran": jnp.broadcast_to(
+            jnp.zeros(3, dtype) if first_tran is None
+            else jnp.asarray(first_tran, dtype).reshape(3), (T, 3)),
+        "first_tran_valid": idx0 & (first_tran is not None),
+        "first_frame": idx0 & bool(first_frame),
+        "gravityc": gravityc,
+    }
+
+
+def forward_offline(params, body_model, cfg, j2dc, accc, oric,
+                    first_tran=None, first_frame=False, gravityc=None):
+    r"""Whole-sequence inference: ``lax.scan`` of the fused step.
+
+    Mirrors the reference's per-frame loop over ``forward_online``
+    (evaluate.py:75-81) in one device launch.
+    """
+    step = make_step(body_model, cfg)
+    frames = _sequence_frames(j2dc, accc, oric, first_tran, first_frame,
+                              gravityc)
+    carry = init_carry(params)
+    _, (pose, tran) = jax.lax.scan(partial(step, params), carry, frames)
+    return pose, tran
+
+
+def forward_offline_batched(params, body_model, cfg, frames_batched,
+                            lengths=None):
+    r"""Batched sequences: vmap over the sequence axis of stacked frame
+    pytrees [B, T, ...]. Padded frames still execute (static shapes) but
+    callers mask outputs past ``lengths``; hidden-state pollution after a
+    sequence's end never flows back into valid frames."""
+    step = make_step(body_model, cfg)
+
+    def run_one(frames):
+        carry = init_carry(params)
+        _, out = jax.lax.scan(partial(step, params), carry, frames)
+        return out
+
+    return jax.vmap(run_one)(frames_batched)
+
+
+class StreamingNet:
+    r"""Stateful convenience wrapper mirroring the reference's online API
+    (``net.forward_online(...)`` / ``net.reset_states()``, sig_mp.py:95-274)
+    around the jitted pure step with a donated carry."""
+
+    def __init__(self, params, body_model: ParametricModel,
+                 cfg: SigMPConfig = SigMPConfig()):
+        self.params = params
+        self.cfg = cfg
+        self.body_model = body_model
+        step = make_step(body_model, cfg)
+
+        @partial(jax.jit, donate_argnums=(1,))
+        def _step(params, carry, frame):
+            return step(params, carry, frame)
+
+        self._step = _step
+        self.carry = init_carry(params)
+
+    def reset_states(self):
+        self.carry = init_carry(self.params)
+
+    def forward_online(self, j2dc, accc, oric, first_tran=None,
+                       first_frame=False, gravityc=None):
+        frame = make_frame(j2dc, accc, oric, first_tran, first_frame, gravityc)
+        self.carry, (pose, tran) = self._step(self.params, self.carry, frame)
+        return pose, tran

@@ -1,0 +1,240 @@
+r"""Recurrent building blocks: torch-weight-compatible LSTM stacks in JAX.
+
+TPU-native rebuild of the reference's ``articulate/utils/torch/rnn.py``. The
+reference wraps ``torch.nn.LSTM`` behind pack/pad plumbing (rnn.py:121-133);
+here the same module family (linear-in -> ReLU -> N-layer LSTM -> linear-out,
+plus the ``RNNWithInit`` variant whose initial hidden state is regressed from
+the first label, rnn.py:174-219) is expressed as
+
+* a parameter pytree whose arrays use the **exact PyTorch layout** (gate
+  order i, f, g, o; ``w_ih [4H, in]``, ``w_hh [4H, H]``, both biases) so the
+  reference's released checkpoints convert 1:1,
+* a pure single-step cell (``rnn_step``) used by the streaming fusion model,
+* a time-major ``lax.scan`` runner with length masking for padded batches
+  (replacing pack_padded_sequence; masked steps freeze the carry so final
+  states and outputs match per-sequence execution exactly).
+
+All functions are pure and jit/vmap/grad-safe.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = [
+    "init_linear", "init_lstm_layer", "init_rnn_params", "init_state",
+    "lstm_cell", "rnn_step", "rnn_scan", "rnn_forward_padded",
+    "init_net_apply", "rnn_params_from_torch",
+]
+
+
+# ---------------------------------------------------------------------------
+# Initialization (matches torch defaults: U(+-1/sqrt(fan)) everywhere)
+# ---------------------------------------------------------------------------
+
+
+def _uniform(key, shape, bound, dtype):
+    return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+
+def init_linear(key, in_size: int, out_size: int, dtype=jnp.float32):
+    kw, kb = jax.random.split(key)
+    bound = 1.0 / np.sqrt(in_size)
+    return {"w": _uniform(kw, (out_size, in_size), bound, dtype),
+            "b": _uniform(kb, (out_size,), bound, dtype)}
+
+
+def init_lstm_layer(key, in_size: int, hidden_size: int, dtype=jnp.float32):
+    ks = jax.random.split(key, 4)
+    bound = 1.0 / np.sqrt(hidden_size)
+    return {"w_ih": _uniform(ks[0], (4 * hidden_size, in_size), bound, dtype),
+            "w_hh": _uniform(ks[1], (4 * hidden_size, hidden_size), bound, dtype),
+            "b_ih": _uniform(ks[2], (4 * hidden_size,), bound, dtype),
+            "b_hh": _uniform(ks[3], (4 * hidden_size,), bound, dtype)}
+
+
+def init_rnn_params(key, input_size: int, output_size: int, hidden_size: int,
+                    num_layers: int = 2, with_init_net: bool = False,
+                    dtype=jnp.float32):
+    r"""Parameters for one RNN module (reference RNN.__init__, rnn.py:96-119;
+    RNNWithInit adds the 3-layer init MLP, rnn.py:195-201)."""
+    keys = jax.random.split(key, num_layers + 5)
+    params = {
+        "linear1": init_linear(keys[0], input_size, hidden_size, dtype),
+        "layers": [init_lstm_layer(keys[1 + i], hidden_size, hidden_size, dtype)
+                   for i in range(num_layers)],
+        "linear2": init_linear(keys[num_layers + 1], hidden_size, output_size,
+                               dtype),
+    }
+    if with_init_net:
+        params["init_net"] = [
+            init_linear(keys[num_layers + 2], output_size, hidden_size, dtype),
+            init_linear(keys[num_layers + 3], hidden_size,
+                        hidden_size * num_layers, dtype),
+            init_linear(keys[num_layers + 4], hidden_size * num_layers,
+                        2 * num_layers * hidden_size, dtype),
+        ]
+    return params
+
+
+def init_state(params, batch_shape: Tuple[int, ...] = (), dtype=jnp.float32):
+    r"""Zero (h, c) state: each [num_layers, *batch_shape, hidden]."""
+    L = len(params["layers"])
+    H = params["layers"][0]["w_hh"].shape[1]
+    shape = (L,) + tuple(batch_shape) + (H,)
+    return jnp.zeros(shape, dtype), jnp.zeros(shape, dtype)
+
+
+# ---------------------------------------------------------------------------
+# Forward
+# ---------------------------------------------------------------------------
+
+
+def _linear(p, x):
+    return x @ p["w"].T + p["b"]
+
+
+def lstm_cell(layer, x, h, c):
+    r"""One LSTM cell step, PyTorch gate order (i, f, g, o)."""
+    z = x @ layer["w_ih"].T + h @ layer["w_hh"].T + layer["b_ih"] + layer["b_hh"]
+    i, f, g, o = jnp.split(z, 4, axis=-1)
+    c_new = jax.nn.sigmoid(f) * c + jax.nn.sigmoid(i) * jnp.tanh(g)
+    h_new = jax.nn.sigmoid(o) * jnp.tanh(c_new)
+    return h_new, c_new
+
+
+def rnn_step(params, x, state, *, dropout: float = 0.0,
+             rng: Optional[jax.Array] = None):
+    r"""One frame through linear1 -> ReLU -> LSTM stack -> linear2.
+
+    ``state`` is (h, c), each [L, ..., H]. Inference applies no dropout
+    (mirrors forward_online's direct cell use, sig_mp.py:126-129); training
+    passes ``dropout``/``rng`` to match the reference's dropout placement
+    (after the input linear and between LSTM layers, rnn.py:111-115,130).
+    """
+    h, c = state
+    y = jax.nn.relu(_linear(params["linear1"], x))
+    train = dropout > 0.0 and rng is not None
+    if train:
+        rngs = jax.random.split(rng, len(params["layers"]))
+        keep = 1.0 - dropout
+        y = y * jax.random.bernoulli(rngs[0], keep, y.shape) / keep
+    new_h, new_c = [], []
+    inp = y
+    for l, layer in enumerate(params["layers"]):
+        hn, cn = lstm_cell(layer, inp, h[l], c[l])
+        new_h.append(hn)
+        new_c.append(cn)
+        inp = hn
+        if train and l < len(params["layers"]) - 1:
+            inp = inp * jax.random.bernoulli(rngs[l + 1], keep, inp.shape) / keep
+    out = _linear(params["linear2"], inp)
+    return out, (jnp.stack(new_h), jnp.stack(new_c))
+
+
+def rnn_scan(params, xs, state0=None, *, dropout: float = 0.0,
+             rng: Optional[jax.Array] = None):
+    r"""Run a whole sequence: xs [T, ..., in] -> (ys [T, ..., out], state)."""
+    if state0 is None:
+        state0 = init_state(params, xs.shape[1:-1], xs.dtype)
+    T = xs.shape[0]
+    if rng is not None and dropout > 0.0:
+        rngs = jax.random.split(rng, T)
+
+        def body(state, inp):
+            x, r = inp
+            out, state = rnn_step(params, x, state, dropout=dropout, rng=r)
+            return state, out
+
+        state, ys = jax.lax.scan(body, state0, (xs, rngs))
+    else:
+        def body(state, x):
+            out, state = rnn_step(params, x, state)
+            return state, out
+
+        state, ys = jax.lax.scan(body, state0, xs)
+    return ys, state
+
+
+def rnn_forward_padded(params, xs, lengths, state0=None, *,
+                       dropout: float = 0.0, rng: Optional[jax.Array] = None):
+    r"""Padded-batch sequence forward with exact masking.
+
+    xs [T, B, in], lengths [B]. Steps past a sequence's length freeze its
+    carry and zero its output, so results equal running each sequence alone —
+    the reference gets this from pack_padded_sequence (rnn.py:129-133).
+    """
+    if state0 is None:
+        state0 = init_state(params, xs.shape[1:-1], xs.dtype)
+    T = xs.shape[0]
+    t_idx = jnp.arange(T)
+    rngs = (jax.random.split(rng, T)
+            if (rng is not None and dropout > 0.0) else jnp.zeros((T, 2), jnp.uint32))
+
+    def body(state, inp):
+        t, x, r = inp
+        valid = (t < lengths)[:, None]                       # [B, 1]
+        out, new_state = rnn_step(
+            params, x, state,
+            dropout=dropout, rng=r if dropout > 0.0 else None)
+        h = jnp.where(valid[None], new_state[0], state[0])
+        c = jnp.where(valid[None], new_state[1], state[1])
+        return (h, c), jnp.where(valid, out, 0.0)
+
+    state, ys = jax.lax.scan(body, state0, (t_idx, xs, rngs))
+    return ys, state
+
+
+def init_net_apply(params, first_label):
+    r"""RNNWithInit's (h0, c0) regression from the first label
+    (rnn.py:195-218). ``first_label`` [..., out] -> (h, c) each [L, ..., H]."""
+    x = first_label
+    x = jax.nn.relu(_linear(params["init_net"][0], x))
+    x = jax.nn.relu(_linear(params["init_net"][1], x))
+    x = _linear(params["init_net"][2], x)
+    L = len(params["layers"])
+    H = params["layers"][0]["w_hh"].shape[1]
+    hc = x.reshape(x.shape[:-1] + (2, L, H))
+    # torch layout: view(B, 2, L, H).permute(1, 2, 0, 3) -> (h, c) [L, B, H]
+    h = jnp.moveaxis(hc[..., 0, :, :], -2, 0)
+    c = jnp.moveaxis(hc[..., 1, :, :], -2, 0)
+    return h, c
+
+
+# ---------------------------------------------------------------------------
+# Torch checkpoint conversion
+# ---------------------------------------------------------------------------
+
+
+def rnn_params_from_torch(state_dict, prefix: str = "", dtype=jnp.float32):
+    r"""Convert a torch state_dict (numpy values) of one reference RNN module
+    into our parameter pytree. Accepts the released checkpoint layout:
+    ``{prefix}linear1.weight``, ``{prefix}rnn.weight_ih_l{k}``, ...,
+    optionally ``{prefix}init_net.{0,2,4}.weight``."""
+    def get(name):
+        return jnp.asarray(np.asarray(state_dict[prefix + name]), dtype)
+
+    params = {
+        "linear1": {"w": get("linear1.weight"), "b": get("linear1.bias")},
+        "linear2": {"w": get("linear2.weight"), "b": get("linear2.bias")},
+        "layers": [],
+    }
+    k = 0
+    while (prefix + f"rnn.weight_ih_l{k}") in state_dict:
+        params["layers"].append({
+            "w_ih": get(f"rnn.weight_ih_l{k}"),
+            "w_hh": get(f"rnn.weight_hh_l{k}"),
+            "b_ih": get(f"rnn.bias_ih_l{k}"),
+            "b_hh": get(f"rnn.bias_hh_l{k}"),
+        })
+        k += 1
+    if (prefix + "init_net.0.weight") in state_dict:
+        params["init_net"] = [
+            {"w": get(f"init_net.{i}.weight"), "b": get(f"init_net.{i}.bias")}
+            for i in (0, 2, 4)
+        ]
+    return params

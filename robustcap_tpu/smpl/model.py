@@ -244,11 +244,17 @@ class ParametricModel:
     def forward_kinematics(self, pose: jnp.ndarray,
                            shape: Optional[jnp.ndarray] = None,
                            tran: Optional[jnp.ndarray] = None,
-                           calc_mesh: bool = False):
+                           calc_mesh: bool = False,
+                           vertex_ids: Optional[np.ndarray] = None):
         r"""Global joint rotations/positions (+ LBS mesh) from local pose.
 
         Semantics match model.py:209-241: ``pose`` reshapes to
         [B, J, 3, 3]; returns (R_glb [B, J, 3, 3], joints [B, J, 3][, verts]).
+
+        ``vertex_ids`` restricts linear blend skinning to a vertex subset —
+        identical math on the selected rows. The streaming fusion step uses
+        this to skin only the 33 landmark vertices instead of the full mesh
+        the reference computes each frame (sig_mp.py:230-232).
         """
         pose = pose.reshape(pose.shape[0], -1, 3, 3)
         B = pose.shape[0]
@@ -273,17 +279,24 @@ class ParametricModel:
         if not calc_mesh:
             return R_glb, add_tran(p_glb)
 
+        weights = self._skinning_weights
+        posedirs = self._posedirs
+        if vertex_ids is not None:
+            ids = jnp.asarray(np.asarray(vertex_ids, np.int32))
+            v0 = v0[:, ids] if v0.ndim == 3 else v0[ids][None].repeat(B, 0)
+            weights = weights[ids]
+            posedirs = posedirs[ids]
         if self.use_pose_blendshape:
             eye = jnp.eye(3, dtype=pose.dtype)
             r = (pose[:, 1:] - eye).reshape(B, -1)
-            v0 = v0 + jnp.einsum("bp,vcp->bvc", r, self._posedirs)
+            v0 = v0 + jnp.einsum("bp,vcp->bvc", r, posedirs)
 
         # LBS: per-vertex transform = sum_j w[v,j] * (R_j, t_j) where
         # t_j = p_glb[j] - R_j @ j0[j] (the reference's T_global column fixup,
         # model.py:235). Composed as two [V,J]x[J,*] matmuls on the MXU.
         t_j = p_glb - (R_glb @ j0[..., None])[..., 0]          # [B, J, 3]
-        R_v = jnp.einsum("vj,bjrc->bvrc", self._skinning_weights, R_glb)
-        t_v = jnp.einsum("vj,bjc->bvc", self._skinning_weights, t_j)
+        R_v = jnp.einsum("vj,bjrc->bvrc", weights, R_glb)
+        t_v = jnp.einsum("vj,bjc->bvc", weights, t_j)
         verts = (R_v @ v0[..., None])[..., 0] + t_v
         return R_glb, add_tran(p_glb), add_tran(verts)
 

@@ -1,0 +1,108 @@
+r"""LSTM stack parity against torch.nn.LSTM (the reference's backbone)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+torch = pytest.importorskip("torch")
+
+from robustcap_tpu.nn import (  # noqa: E402
+    init_rnn_params, init_state, rnn_step, rnn_scan, rnn_forward_padded,
+    init_net_apply, rnn_params_from_torch)
+
+
+def make_torch_module(in_size=12, out_size=5, hidden=16, layers=2, seed=0,
+                      with_init=False):
+    torch.manual_seed(seed)
+    mod = torch.nn.ModuleDict({
+        "linear1": torch.nn.Linear(in_size, hidden),
+        "rnn": torch.nn.LSTM(hidden, hidden, layers),
+        "linear2": torch.nn.Linear(hidden, out_size),
+    })
+    if with_init:
+        mod["init_net"] = torch.nn.Sequential(
+            torch.nn.Linear(out_size, hidden), torch.nn.ReLU(),
+            torch.nn.Linear(hidden, hidden * layers), torch.nn.ReLU(),
+            torch.nn.Linear(hidden * layers, 2 * layers * hidden))
+    return mod
+
+
+def to_numpy_sd(mod):
+    sd = {}
+    for k, v in mod.state_dict().items():
+        sd[k.replace("init_net.", "init_net.")] = v.detach().numpy()
+    return sd
+
+
+def torch_forward(mod, x_np, h0=None):
+    with torch.no_grad():
+        x = torch.from_numpy(x_np)            # [T, B, in]
+        y = torch.relu(mod["linear1"](x))
+        y, (h, c) = mod["rnn"](y, h0)
+        y = mod["linear2"](y)
+    return y.numpy(), h.numpy(), c.numpy()
+
+
+class TestLSTMParity:
+    def test_scan_matches_torch(self):
+        mod = make_torch_module()
+        params = rnn_params_from_torch(to_numpy_sd(mod))
+        x = np.random.RandomState(0).randn(7, 3, 12).astype(np.float32)
+        ys, (h, c) = rnn_scan(params, jnp.asarray(x))
+        y_ref, h_ref, c_ref = torch_forward(mod, x)
+        np.testing.assert_allclose(ys, y_ref, atol=2e-5)
+        np.testing.assert_allclose(h, h_ref, atol=2e-5)
+        np.testing.assert_allclose(c, c_ref, atol=2e-5)
+
+    def test_streaming_step_equals_scan(self):
+        mod = make_torch_module(seed=1)
+        params = rnn_params_from_torch(to_numpy_sd(mod))
+        x = np.random.RandomState(1).randn(5, 12).astype(np.float32)
+        ys, _ = rnn_scan(params, jnp.asarray(x))
+        state = init_state(params)
+        outs = []
+        for t in range(5):
+            o, state = rnn_step(params, jnp.asarray(x[t]), state)
+            outs.append(o)
+        np.testing.assert_allclose(jnp.stack(outs), ys, atol=1e-6)
+
+    def test_init_net_matches_torch(self):
+        mod = make_torch_module(seed=2, with_init=True)
+        params = rnn_params_from_torch(to_numpy_sd(mod))
+        first = np.random.RandomState(2).randn(4, 5).astype(np.float32)
+        with torch.no_grad():
+            out = mod["init_net"](torch.from_numpy(first))
+            h_ref, c_ref = out.view(-1, 2, 2, 16).permute(1, 2, 0, 3)
+        h, c = init_net_apply(params, jnp.asarray(first))
+        np.testing.assert_allclose(h, h_ref.numpy(), atol=2e-5)
+        np.testing.assert_allclose(c, c_ref.numpy(), atol=2e-5)
+        # regressed state feeds the scan exactly like torch
+        x = np.random.RandomState(3).randn(6, 4, 12).astype(np.float32)
+        ys, _ = rnn_scan(params, jnp.asarray(x), (h, c))
+        y_ref, _, _ = torch_forward(mod, x, (h_ref.contiguous(), c_ref.contiguous()))
+        np.testing.assert_allclose(ys, y_ref, atol=2e-5)
+
+    def test_padded_batch_equals_per_sequence(self):
+        key = jax.random.PRNGKey(0)
+        params = init_rnn_params(key, 12, 5, 16, 2)
+        rng = np.random.RandomState(4)
+        lengths = np.array([7, 3, 5])
+        T = 7
+        xs = rng.randn(T, 3, 12).astype(np.float32)
+        ys, (h, c) = rnn_forward_padded(params, jnp.asarray(xs),
+                                        jnp.asarray(lengths))
+        for b, L in enumerate(lengths):
+            y_solo, (h_solo, c_solo) = rnn_scan(params, jnp.asarray(xs[:L, b]))
+            np.testing.assert_allclose(ys[:L, b], y_solo, atol=1e-5)
+            np.testing.assert_allclose(ys[L:, b], 0.0, atol=0)
+            np.testing.assert_allclose(h[:, b], h_solo, atol=1e-5)
+            np.testing.assert_allclose(c[:, b], c_solo, atol=1e-5)
+
+    def test_dropout_train_path_runs(self):
+        key = jax.random.PRNGKey(1)
+        params = init_rnn_params(key, 12, 5, 16, 2)
+        xs = jnp.asarray(np.random.RandomState(5).randn(4, 2, 12), jnp.float32)
+        ys, _ = rnn_scan(params, xs, dropout=0.4, rng=jax.random.PRNGKey(2))
+        assert ys.shape == (4, 2, 5)
+        assert np.isfinite(np.asarray(ys)).all()
