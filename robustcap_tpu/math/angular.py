@@ -116,7 +116,11 @@ def quaternion_mean(q: jnp.ndarray) -> jnp.ndarray:
 def axis_angle_to_rotation_matrix(a: jnp.ndarray) -> jnp.ndarray:
     r"""Rodrigues formula, safe at zero angle (reference: angular.py:221)."""
     a = a.reshape(-1, 3)
-    angle = jnp.linalg.norm(a, axis=-1)
+    # sqrt(sum + tiny) keeps the gradient finite at exactly zero rotation
+    # (the conversion is differentiated through in SMPLify's closure; the
+    # reference's batch_rodrigues adds a similar epsilon,
+    # temporal_smplify.py:43). The value perturbation is below f32 ulp.
+    angle = jnp.sqrt(jnp.sum(a * a, axis=-1) + 1e-16)
     # Guarded normalization: at angle=0 the axis term is multiplied by
     # (1-cos)=0 and sin=0, so any finite axis gives the identity — matching
     # the reference's nan->0 patch (angular.py:229).

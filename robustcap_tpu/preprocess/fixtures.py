@@ -1,0 +1,134 @@
+r"""Synthetic dataset fixtures in the reference's preprocessed schema.
+
+The reference's evaluation consumes preprocessed ``.pt`` dicts
+(preprocess.py:50 for the AIST schema). Real corpora (AIST++/AMASS/
+TotalCapture/3DPW) are licensed and absent here, so tests and benchmarks run
+on procedurally generated motions pushed through the *same* synthesis
+pipeline the reference uses for virtual sensors: FK -> mesh -> virtual IMUs
+(orientation at the IMU joints, smoothed finite-difference acceleration at
+the IMU vertices) -> pinhole-projected MediaPipe pseudo-landmarks with
+confidence. The resulting dict is schema-compatible with the reference's
+``test.pt`` (keys: name/pose/tran/joint3d/joint2d_mp/cam_K/cam_T/imu_ori/
+imu_acc).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List
+
+import jax.numpy as jnp
+import numpy as np
+
+from .. import math as M
+from ..config import IMU_JOINT_MASK, IMU_VERTEX_MASK, MP_VERTEX_MASK
+from ..smpl.model import ParametricModel
+from . import synthesis
+
+__all__ = ["smooth_random_motion", "build_fixture_dataset"]
+
+IMG_W, IMG_H = 1920, 1080
+
+
+def smooth_random_motion(rng: np.random.RandomState, T: int,
+                         amp: float = 0.18, walk: float = 0.4):
+    r"""A smooth random pose/translation sequence: low-pass-filtered noise on
+    axis-angle joints plus a slow root walk (world frame, y-up)."""
+    def smooth(x, k=15):
+        kernel = np.hanning(k)
+        kernel /= kernel.sum()
+        return np.apply_along_axis(
+            lambda a: np.convolve(a, kernel, mode="same"), 0, x)
+
+    aa = smooth(rng.normal(0, amp * 4, (T, 24, 3))).astype(np.float32)
+    aa[:, 0] = smooth(rng.normal(0, 0.3, (T, 3))).astype(np.float32)
+    tran = np.cumsum(
+        smooth(rng.normal(0, walk / 60, (T, 3))), axis=0).astype(np.float32)
+    tran[:, 1] *= 0.1  # keep the body near a constant height
+    return aa, tran
+
+
+def _look_at_camera(subject_center: np.ndarray, distance: float,
+                    azimuth: float, height: float) -> np.ndarray:
+    r"""World->camera SE(3) (Tcw) for a camera orbiting the subject."""
+    cam_pos = subject_center + np.array(
+        [distance * np.sin(azimuth), height, distance * np.cos(azimuth)],
+        np.float32)
+    fwd = subject_center - cam_pos
+    fwd = fwd / np.linalg.norm(fwd)
+    up = np.array([0, 1.0, 0], np.float32)
+    right = np.cross(fwd, up)
+    right /= np.linalg.norm(right)
+    down = np.cross(fwd, right)
+    Rcw = np.stack([right, down, fwd])          # rows = camera axes in world
+    t = -Rcw @ cam_pos
+    T = np.eye(4, dtype=np.float32)
+    T[:3, :3] = Rcw
+    T[:3, 3] = t
+    return T
+
+
+def build_fixture_dataset(model: ParametricModel, n_seq: int = 2, T: int = 96,
+                          n_cam: int = 2, seed: int = 0,
+                          conf_fn=None) -> Dict[str, List]:
+    r"""Generate a preprocessed-schema dataset dict.
+
+    ``conf_fn(rng, T) -> [T]`` customizes the per-frame keypoint confidence
+    (defaults to high confidence with occasional dips, exercising the
+    confidence gate).
+    """
+    rng = np.random.RandomState(seed)
+    need_verts = np.union1d(np.asarray(MP_VERTEX_MASK),
+                            np.asarray(IMU_VERTEX_MASK))
+    vi_in_need = np.searchsorted(need_verts, np.asarray(IMU_VERTEX_MASK))
+    mp_in_need = np.searchsorted(need_verts, np.asarray(MP_VERTEX_MASK))
+
+    K = np.array([[1200.0, 0, IMG_W / 2], [0, 1200.0, IMG_H / 2], [0, 0, 1]],
+                 np.float32)
+
+    data = {k: [] for k in ["name", "pose", "tran", "joint3d", "joint2d_mp",
+                            "cam_K", "cam_T", "imu_ori", "imu_acc",
+                            "sync_3d_mp"]}
+    for s in range(n_seq):
+        aa, tran = smooth_random_motion(rng, T)
+        pose = np.asarray(M.axis_angle_to_rotation_matrix(
+            jnp.asarray(aa.reshape(-1, 3)))).reshape(T, 24, 3, 3)
+        glb, joints, verts = model.forward_kinematics(
+            jnp.asarray(pose), tran=jnp.asarray(tran), calc_mesh=True,
+            vertex_ids=need_verts)
+        ori = np.asarray(glb[:, np.asarray(IMU_JOINT_MASK)])
+        acc = np.asarray(synthesis.syn_acc(verts[:, vi_in_need]))
+        mp3d_w = np.asarray(synthesis.sync_3d_mp(verts[:, mp_in_need], joints))
+
+        cam_Ks, cam_Ts, kp2d = [], [], []
+        center = np.asarray(joints).mean(axis=(0, 1))
+        for cidx in range(n_cam):
+            Tcw = _look_at_camera(center, distance=4.0 + 0.5 * cidx,
+                                  azimuth=2 * np.pi * cidx / max(n_cam, 1),
+                                  height=0.4)
+            mp_c = mp3d_w @ Tcw[:3, :3].T + Tcw[:3, 3]
+            uv = np.asarray(synthesis.project_points(jnp.asarray(mp_c),
+                                                     jnp.asarray(K)))
+            if conf_fn is None:
+                conf = np.clip(
+                    0.95 - 0.5 * (rng.uniform(0, 1, T) < 0.15), 0, 1)
+            else:
+                conf = conf_fn(rng, T)
+            kp = np.zeros((T, 33, 3), np.float32)
+            kp[..., 0] = uv[..., 0] / IMG_W
+            kp[..., 1] = uv[..., 1] / IMG_H
+            kp[..., 2] = conf[:, None]
+            cam_Ks.append(K.copy())
+            cam_Ts.append(Tcw)
+            kp2d.append(kp)
+
+        data["name"].append(f"synth_seq_{s}_cAll")
+        data["pose"].append(aa.reshape(T, 72))
+        data["tran"].append(tran)
+        data["joint3d"].append(np.asarray(joints))
+        data["joint2d_mp"].append(kp2d)
+        data["cam_K"].append(cam_Ks)
+        data["cam_T"].append(cam_Ts)
+        data["imu_ori"].append(ori)
+        data["imu_acc"].append(acc)
+        data["sync_3d_mp"].append(mp3d_w)
+    return data

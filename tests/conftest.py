@@ -6,7 +6,10 @@ exercised without TPU hardware (SURVEY.md §4f). Must be set before jax import.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force CPU: the ambient environment exports JAX_PLATFORMS=axon (single
+# tunneled TPU); concurrent test processes would contend for it. Unit tests
+# must run on the virtual CPU mesh; only bench.py touches the real chip.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (

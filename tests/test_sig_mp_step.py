@@ -119,7 +119,7 @@ class Oracle:
 
         poseg = np.asarray(M.r6d_to_rotation_matrix(
             jnp.asarray(poseg6d))).reshape(24, 3, 3)
-        pose = np.asarray(M.inverse_kinematics_R(
+        pose = np.array(M.inverse_kinematics_R(
             jnp.asarray(poseg)[None], self.model.tree))[0]
         pose[0] = Rcr
 
