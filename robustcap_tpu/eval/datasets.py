@@ -62,7 +62,8 @@ def _to_np(x) -> np.ndarray:
 def _aa_to_R(aa: np.ndarray) -> np.ndarray:
     import jax.numpy as jnp
     from .. import math as M
-    return np.asarray(M.axis_angle_to_rotation_matrix(
+    # np.array (not asarray): jax buffers are read-only and callers mutate
+    return np.array(M.axis_angle_to_rotation_matrix(
         jnp.asarray(aa.reshape(-1, 3)))).reshape(-1, 24, 3, 3)
 
 

@@ -27,7 +27,7 @@ import numpy as np
 
 from ..config import EVAL_PROFILES, SigMPConfig, paths
 from ..models import sig_mp
-from ..ops.procrustes import reconstruction_error
+from ..ops.procrustes import reconstruction_error_np
 from ..smpl.model import ParametricModel, default_body_model
 from .datasets import (build_aist_sequences, build_pw3d_sequences,
                        build_tc_sequences, load_torch_file)
@@ -50,7 +50,7 @@ def _make_mpjpe_fn(model: ParametricModel, j_regressor: np.ndarray):
     jreg = jnp.asarray(j_regressor[:14])
 
     @jax.jit
-    def fn(pose_p, pose_t):
+    def device_part(pose_p, pose_t):
         _, _, vert_t = model.forward_kinematics(pose_t, calc_mesh=True)
         _, _, vert_p = model.forward_kinematics(pose_p, calc_mesh=True)
         kp_t = jnp.einsum("jv,tvc->tjc", jreg, vert_t)
@@ -59,8 +59,13 @@ def _make_mpjpe_fn(model: ParametricModel, j_regressor: np.ndarray):
         kp_p = kp_p - kp_p[:, :1]
         mpjpe = jnp.linalg.norm(kp_p - kp_t, axis=2).mean()
         pve = jnp.linalg.norm(vert_p - vert_t, axis=2).mean()
-        pampjpe = reconstruction_error(kp_p, kp_t)
-        return jnp.stack([mpjpe, pve, pampjpe])
+        return mpjpe, pve, kp_p, kp_t
+
+    def fn(pose_p, pose_t):
+        mpjpe, pve, kp_p, kp_t = device_part(pose_p, pose_t)
+        # PA-MPJPE in float64 on host: f32 SVD noise (~1 mm) is material
+        pampjpe = reconstruction_error_np(kp_p, kp_t)
+        return jnp.stack([mpjpe, pve, jnp.asarray(pampjpe, jnp.float32)])
 
     return fn
 

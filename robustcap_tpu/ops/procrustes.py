@@ -48,3 +48,36 @@ def reconstruction_error(S1: jnp.ndarray, S2: jnp.ndarray,
     if reduction == "sum":
         return re.sum()
     return re
+
+
+def reconstruction_error_np(S1, S2, reduction: str = "mean"):
+    r"""Float64 host-side PA-MPJPE with batched numpy SVDs.
+
+    The f32 SVD on device carries ~1 mm of numerical noise — material
+    against PA-MPJPE values of a few cm — so final metrics use this float64
+    path (matching the reference's numpy precision, utils.py:138-203) while
+    staying fully batched (one vectorized SVD over all frames, not the
+    reference's per-frame Python loop).
+    """
+    import numpy as np
+    S1 = np.asarray(S1, np.float64)
+    S2 = np.asarray(S2, np.float64)
+    mu1 = S1.mean(axis=1, keepdims=True)
+    mu2 = S2.mean(axis=1, keepdims=True)
+    X1, X2 = S1 - mu1, S2 - mu2
+    var1 = np.sum(X1 ** 2, axis=(1, 2))
+    K = np.swapaxes(X1, 1, 2) @ X2
+    U, s, Vh = np.linalg.svd(K)
+    V = np.swapaxes(Vh, 1, 2)
+    Z = np.broadcast_to(np.eye(3), K.shape).copy()
+    Z[:, -1, -1] = np.sign(np.linalg.det(U @ Vh))
+    R = V @ Z @ np.swapaxes(U, 1, 2)
+    scale = np.einsum("bij,bij->b", R, np.swapaxes(K, 1, 2)) / var1
+    t = mu2 - scale[:, None, None] * (mu1 @ np.swapaxes(R, 1, 2))
+    S1_hat = scale[:, None, None] * (S1 @ np.swapaxes(R, 1, 2)) + t
+    re = np.sqrt(((S1_hat - S2) ** 2).sum(axis=-1)).mean(axis=-1)
+    if reduction == "mean":
+        return re.mean()
+    if reduction == "sum":
+        return re.sum()
+    return re

@@ -4,3 +4,11 @@ from .synthesis import (  # noqa: F401
     syn_acc, synthesize_imu, sync_3d_mp, project_points, normalize_keypoints,
     random_camera, synthesize_confidence)
 from .fixtures import build_fixture_dataset, smooth_random_motion  # noqa: F401
+from .datasets import (resample_sequence, interpolate_keypoints,  # noqa: F401
+                       amass_sequence_to_work, totalcapture_align_imus,
+                       check_real_vs_synthetic_imu, preprocess_amass,
+                       preprocess_3dpw_sequence)
+from .occlusion import (paste_over, occlude_with_objects,  # noqa: F401
+                        resize_by_factor, load_occluders, random_occluders)
+from .smooth_bbox import (kp_to_bbox_param, get_smooth_bbox_params,  # noqa: F401
+                          get_bbox)

@@ -36,7 +36,8 @@ __all__ = [
 
 
 def _aa_to_R(aa):
-    return np.asarray(M.axis_angle_to_rotation_matrix(
+    # np.array (not asarray): jax buffers are read-only and callers mutate
+    return np.array(M.axis_angle_to_rotation_matrix(
         jnp.asarray(np.asarray(aa, np.float32).reshape(-1, 3)))
     ).reshape(len(aa), -1, 3, 3)
 

