@@ -11,3 +11,4 @@ from .runner import run_sequences, stack_frames  # noqa: F401
 from .evaluate import (  # noqa: F401
     cal_mpjpe, evaluate_aist_ours, evaluate_tc_ours, evaluate_pw3d_ours,
     evaluate_sequences)
+from .visualize import run_single_view, view_aist, view_aist_unity  # noqa: F401

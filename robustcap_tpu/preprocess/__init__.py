@@ -12,3 +12,5 @@ from .occlusion import (paste_over, occlude_with_objects,  # noqa: F401
                         resize_by_factor, load_occluders, random_occluders)
 from .smooth_bbox import (kp_to_bbox_param, get_smooth_bbox_params,  # noqa: F401
                           get_bbox)
+from .detectors import (detect_sequence, detect_sequence_cropped,  # noqa: F401
+                        detect_sequence_occluded)

@@ -4,3 +4,6 @@ from .xsens import (XsensDotSet, parse_complete_quaternion,  # noqa: F401
                     encode_complete_quaternion, CompleteQuaternionPayload)
 from .mvnx import read_mvnx  # noqa: F401
 from .bridge import run_imu_bridge, SyntheticImuSource  # noqa: F401
+from .calibration import (calibrate_intrinsics_zhang,  # noqa: F401
+                          calibrate_camera_chessboard)
+from .noitom import MocapApi, NoitomFrame  # noqa: F401

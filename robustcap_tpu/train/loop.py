@@ -94,9 +94,15 @@ def train(params, forward_fn: Callable, loss_fn: Callable,
             params = load_pytree(w_file)
         lr_scale = train_info.get("lr_scale", 1.0)
         if os.path.exists(opt_file):
-            opt_state = load_pytree(opt_file)
-        else:
-            opt_state = tx.init(params)
+            loaded = load_pytree(opt_file)
+            # only adopt a saved optimizer state whose structure matches the
+            # current optimizer (resuming with changed hyperparameters falls
+            # back to a fresh state)
+            if (jax.tree.structure(loaded)
+                    == jax.tree.structure(opt_state)):
+                opt_state = loaded
+            else:
+                print("optimizer config changed; reinitializing opt state")
         print("resumed: epoch %d it %d total_it %d" %
               (train_info["epoch"], train_info["it"], train_info["total_it"]))
 

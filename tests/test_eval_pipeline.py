@@ -48,7 +48,9 @@ class TestSynthesis:
         t = (np.arange(30, dtype=np.float32) / 60)[:, None, None]
         v = 0.5 * a * t ** 2
         acc = np.asarray(syn_acc(jnp.asarray(v)))
-        np.testing.assert_allclose(acc[3:-3, 0], a, rtol=1e-2, atol=1e-2)
+        np.testing.assert_allclose(acc[3:-3, 0],
+                                   np.broadcast_to(a, (24, 3)),
+                                   rtol=1e-2, atol=1e-2)
 
     def test_fixture_schema(self, world):
         _, _, ds = world
