@@ -29,7 +29,7 @@ def main():
     from robustcap_tpu.models import sig_mp
     from robustcap_tpu.smpl import ParametricModel, synthetic_smpl_data
 
-    B = int(os.environ.get("BENCH_BATCH", 32))
+    B = int(os.environ.get("BENCH_BATCH", 128))
     T = int(os.environ.get("BENCH_FRAMES", 512))
     SEQ_FRAMES = int(os.environ.get("BENCH_SEQ_FRAMES", 240))
 

@@ -18,6 +18,11 @@ os.environ.setdefault("JAX_ENABLE_X64", "0")
 
 import jax  # noqa: E402
 
+# The environment's sitecustomize registers a tunneled TPU backend and
+# overrides jax_platforms via jax.config.update, which beats the env var —
+# re-override here so tests really run on the virtual CPU mesh.
+jax.config.update("jax_platforms", "cpu")
+
 jax.config.update("jax_default_matmul_precision", "highest")
 
 # Persistent compilation cache: the suite compiles many large scan graphs;
