@@ -28,8 +28,24 @@ import numpy as np
 __all__ = [
     "init_linear", "init_lstm_layer", "init_rnn_params", "init_state",
     "lstm_cell", "rnn_step", "rnn_scan", "rnn_forward_padded",
-    "init_net_apply", "rnn_params_from_torch",
+    "init_net_apply", "rnn_params_from_torch", "cast_params",
 ]
+
+
+def cast_params(params, dtype):
+    r"""Cast floating-point parameter leaves (weights) to ``dtype``.
+
+    The offline scan is HBM-bandwidth-bound on re-reading the LSTM weights
+    every time step; bfloat16 storage halves the bytes. ``rnn_step`` runs
+    its gate math in the weights' dtype and returns float32 outputs, so the
+    surrounding geometry stays full precision.
+    """
+    def cast(x):
+        if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.floating):
+            return x.astype(dtype)
+        return x
+
+    return jax.tree.map(cast, params)
 
 
 # ---------------------------------------------------------------------------
@@ -115,8 +131,17 @@ def rnn_step(params, x, state, *, dropout: float = 0.0,
     (mirrors forward_online's direct cell use, sig_mp.py:126-129); training
     passes ``dropout``/``rng`` to match the reference's dropout placement
     (after the input linear and between LSTM layers, rnn.py:111-115,130).
+
+    Computation runs in the parameters' dtype (bfloat16 after
+    ``cast_params``) and the output is returned in the input's dtype.
     """
     h, c = state
+    w_dtype = params["linear1"]["w"].dtype
+    out_dtype = x.dtype
+    if x.dtype != w_dtype:
+        x = x.astype(w_dtype)
+        h = h.astype(w_dtype)
+        c = c.astype(w_dtype)
     y = jax.nn.relu(_linear(params["linear1"], x))
     train = dropout > 0.0 and rng is not None
     if train:
@@ -133,7 +158,9 @@ def rnn_step(params, x, state, *, dropout: float = 0.0,
         if train and l < len(params["layers"]) - 1:
             inp = inp * jax.random.bernoulli(rngs[l + 1], keep, inp.shape) / keep
     out = _linear(params["linear2"], inp)
-    return out, (jnp.stack(new_h), jnp.stack(new_c))
+    return (out.astype(out_dtype),
+            (jnp.stack(new_h).astype(out_dtype),
+             jnp.stack(new_c).astype(out_dtype)))
 
 
 def rnn_scan(params, xs, state0=None, *, dropout: float = 0.0,
