@@ -60,10 +60,12 @@ def stack_frames(seqs: List[EvalSequence], pad_len: int,
 
 def _make_batched_fn(body_model: ParametricModel, cfg: SigMPConfig,
                      mesh: Optional[jax.sharding.Mesh]):
-    step = sig_mp.make_step(body_model, cfg)
+    step = sig_mp.make_step(body_model, cfg, include_first_frame_step=False)
 
     def run_one(params, frames):
-        carry = sig_mp.init_carry(params)
+        frame0 = jax.tree.map(lambda x: x[0], frames)
+        carry = sig_mp.prescan_first_frame(
+            params, body_model, sig_mp.init_carry(params), frame0)
         _, out = jax.lax.scan(partial(step, params), carry, frames)
         return out
 
