@@ -1,0 +1,129 @@
+r"""Command-line interface.
+
+The reference has no CLI (entry points are edited ``__main__`` blocks,
+SURVEY.md §5); this exposes the main workflows:
+
+  python -m robustcap_tpu eval --dataset aist [--no-smplify] [--weights W]
+  python -m robustcap_tpu latency [--frames N]
+  python -m robustcap_tpu live-server --weights W
+  python -m robustcap_tpu train --rnn 7 --aist data/... [--amass data/...]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _load_params(args):
+    from robustcap_tpu.models import sig_mp
+    if args.weights:
+        if args.weights.endswith(".pt"):
+            return sig_mp.load_torch_checkpoint(args.weights)
+        from robustcap_tpu.train import load_pytree
+        return load_pytree(args.weights)
+    import jax
+    print("warning: no --weights given; using random parameters",
+          file=sys.stderr)
+    return sig_mp.init_params(jax.random.PRNGKey(0))
+
+
+def cmd_eval(args):
+    from robustcap_tpu.eval import (evaluate_aist_ours, evaluate_pw3d_ours,
+                                    evaluate_tc_ours)
+    params = _load_params(args)
+    kw = dict(run_smplify=not args.no_smplify, params=params,
+              use_cache=not args.no_cache)
+    if args.dataset == "aist":
+        out = evaluate_aist_ours(**kw)
+    elif args.dataset in ("tc", "totalcapture"):
+        out = evaluate_tc_ours(**kw)
+    elif args.dataset == "pw3d":
+        out = evaluate_pw3d_ours(occ=False, **kw)
+    elif args.dataset == "pw3d_occ":
+        out = evaluate_pw3d_ours(occ=True, **kw)
+    else:
+        raise SystemExit(f"unknown dataset {args.dataset}")
+    print(json.dumps({k: out[k] for k in
+                      ("mpjpe", "pve", "pampjpe", "tran_error")}))
+
+
+def cmd_latency(args):
+    from robustcap_tpu.smpl import default_body_model
+    from robustcap_tpu.streaming import measure_streaming_latency
+    params = _load_params(args)
+    stats = measure_streaming_latency(params, default_body_model(),
+                                      n_frames=args.frames,
+                                      trace_dir=args.trace_dir)
+    print(json.dumps(stats))
+
+
+def cmd_live_server(args):
+    from robustcap_tpu.streaming import run_live_demo
+    run_live_demo(_load_params(args))
+
+
+def cmd_imu_bridge(args):
+    from robustcap_tpu.sensors import run_imu_bridge
+    run_imu_bridge()
+
+
+def cmd_train(args):
+    from robustcap_tpu.eval.datasets import load_torch_file
+    from robustcap_tpu.train import trainers
+    import os
+    aist_tr = load_torch_file(os.path.join(args.aist, "train.pt"))
+    aist_va = load_torch_file(os.path.join(args.aist, "val.pt"))
+    amass_tr = amass_va = None
+    if args.amass:
+        amass_tr = load_torch_file(os.path.join(args.amass, "train.pt"))
+        amass_va = load_torch_file(os.path.join(args.amass, "val.pt"))
+    if args.rnn == "all":
+        trainers.train_all(aist_tr, aist_va, amass_tr, amass_va)
+    elif args.rnn == "8":
+        trainers.train_rnn8(amass_tr, amass_va)
+    else:
+        fn = getattr(trainers, f"train_rnn{args.rnn}")
+        fn(aist_tr, aist_va, amass_tr, amass_va)
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="robustcap_tpu")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    pe = sub.add_parser("eval", help="offline dataset evaluation")
+    pe.add_argument("--dataset", default="aist",
+                    choices=["aist", "tc", "totalcapture", "pw3d",
+                             "pw3d_occ"])
+    pe.add_argument("--weights")
+    pe.add_argument("--no-smplify", action="store_true")
+    pe.add_argument("--no-cache", action="store_true")
+    pe.set_defaults(fn=cmd_eval)
+
+    pl = sub.add_parser("latency", help="streaming latency harness")
+    pl.add_argument("--weights")
+    pl.add_argument("--frames", type=int, default=600)
+    pl.add_argument("--trace-dir")
+    pl.set_defaults(fn=cmd_latency)
+
+    ps = sub.add_parser("live-server", help="live inference server")
+    ps.add_argument("--weights")
+    ps.set_defaults(fn=cmd_live_server)
+
+    pb = sub.add_parser("imu-bridge", help="BLE IMU -> UDP bridge")
+    pb.set_defaults(fn=cmd_imu_bridge)
+
+    pt = sub.add_parser("train", help="train fusion RNNs")
+    pt.add_argument("--rnn", default="all",
+                    choices=["all", "2", "3", "4", "6", "7", "8"])
+    pt.add_argument("--aist", required=True)
+    pt.add_argument("--amass")
+    pt.set_defaults(fn=cmd_train)
+
+    args = p.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()
