@@ -99,14 +99,18 @@ def _scaled_px(kp: np.ndarray) -> np.ndarray:
 
 
 def build_aist_sequences(dataset: Dict, not_aligned: Sequence[str] = (),
-                         num_cameras: int = 9) -> List[EvalSequence]:
-    r"""AIST++ test assembly (evaluate.py:24-52): 9 camera views per motion,
-    GT first-frame translation seed, sequences in the ``not_aligned`` list
-    marked invalid (metrics skip them, evaluate.py:111)."""
+                         num_cameras: Optional[int] = None
+                         ) -> List[EvalSequence]:
+    r"""AIST++ test assembly (evaluate.py:24-52): 9 camera views per motion
+    (inferred from the data), GT first-frame translation seed, sequences in
+    the ``not_aligned`` list marked invalid (metrics skip them,
+    evaluate.py:111)."""
     not_aligned = set(not_aligned)
     seqs = []
     for i in range(len(dataset["pose"])):
-        for j in range(num_cameras):
+        n_cam = (num_cameras if num_cameras is not None
+                 else len(dataset["cam_T"][i]))
+        for j in range(n_cam):
             cam_name = "c0" + str(j + 1)
             name = str(dataset["name"][i]).replace("cAll", cam_name)
             Tcw = _to_np(dataset["cam_T"][i][j])
@@ -126,13 +130,16 @@ def build_aist_sequences(dataset: Dict, not_aligned: Sequence[str] = (),
     return seqs
 
 
-def build_tc_sequences(dataset: Dict, num_cameras: int = 8) -> List[EvalSequence]:
+def build_tc_sequences(dataset: Dict, num_cameras: Optional[int] = None
+                       ) -> List[EvalSequence]:
     r"""TotalCapture assembly (evaluate.py:136-159): real IMU recordings, 8
-    cameras, first_frame seeding instead of a GT translation
-    (evaluate.py:185)."""
+    cameras (inferred from the data), first_frame seeding instead of a GT
+    translation (evaluate.py:185)."""
     seqs = []
     for i in range(len(dataset["pose"])):
-        for j in range(num_cameras):
+        n_cam = (num_cameras if num_cameras is not None
+                 else len(dataset["cam_T"][i]))
+        for j in range(n_cam):
             Tcw = _to_np(dataset["cam_T"][i][j])
             K = _to_np(dataset["cam_K"][i][j])
             oric, accc, pose, tranc, grav = _camera_frame_inputs(

@@ -99,6 +99,8 @@ def view_aist_unity(seq_idx: int = 0, cam_idx: int = 0, params=None,
     pose, tran = run_single_view(params, model, seq,
                                  cfg=SigMPConfig.live_mode(),
                                  run_smplify=False)
+    pose = np.array(pose)  # writable copy (jax buffers are read-only)
+    tran = np.array(tran)
     Tcw = np.asarray(dataset["cam_T"][seq_idx][cam_idx], np.float32)
     R = Tcw[:3, :3]
     pose[:, 0] = np.einsum("ji,tjk->tik", R, pose[:, 0])

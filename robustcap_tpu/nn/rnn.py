@@ -115,8 +115,16 @@ def _linear(p, x):
 
 
 def lstm_cell(layer, x, h, c):
-    r"""One LSTM cell step, PyTorch gate order (i, f, g, o)."""
-    z = x @ layer["w_ih"].T + h @ layer["w_hh"].T + layer["b_ih"] + layer["b_hh"]
+    r"""One LSTM cell step, PyTorch gate order (i, f, g, o).
+
+    The input/hidden matmuls are fused into one ``[x | h] @ [W_ih | W_hh]^T``
+    contraction; the weight/bias concatenations are loop-invariant, so XLA
+    hoists them out of scans — one MXU call per layer per step instead of
+    two.
+    """
+    w = jnp.concatenate([layer["w_ih"], layer["w_hh"]], axis=1)
+    b = layer["b_ih"] + layer["b_hh"]
+    z = jnp.concatenate([x, h], axis=-1) @ w.T + b
     i, f, g, o = jnp.split(z, 4, axis=-1)
     c_new = jax.nn.sigmoid(f) * c + jax.nn.sigmoid(i) * jnp.tanh(g)
     h_new = jax.nn.sigmoid(o) * jnp.tanh(c_new)
