@@ -29,7 +29,7 @@ def main():
     from robustcap_tpu.models import sig_mp
     from robustcap_tpu.smpl import ParametricModel, synthetic_smpl_data
 
-    B = int(os.environ.get("BENCH_BATCH", 128))
+    B = int(os.environ.get("BENCH_BATCH", 512))
     T = int(os.environ.get("BENCH_FRAMES", 512))
     SEQ_FRAMES = int(os.environ.get("BENCH_SEQ_FRAMES", 240))
 
@@ -75,6 +75,18 @@ def main():
     dt = (time.perf_counter() - t0) / reps
     batched_fps = B * T / dt
 
+    # true on-chip per-frame step time: chain SEQ_FRAMES steps in ONE
+    # dispatch (B=1 scan) so host<->device round-trips don't pollute the
+    # number — this is the latency a locally-attached chip would see.
+    one = jax.tree.map(lambda x: x[:1, :SEQ_FRAMES], frames)
+    single = jax.jit(
+        lambda p, f: sig_mp.forward_offline_batched(p, model, cfg, f))
+    jax.block_until_ready(single(params, one))
+    t0 = time.perf_counter()
+    for _ in range(3):
+        jax.block_until_ready(single(params, one))
+    device_step_ms = (time.perf_counter() - t0) / 3 / SEQ_FRAMES * 1e3
+
     # baseline: per-frame sequential dispatch (reference architecture)
     net = sig_mp.StreamingNet(params, model, cfg)
     net.forward_online(j2dc[0, 0], accc[0, 0], oric[0, 0],
@@ -97,6 +109,7 @@ def main():
         "extra": {
             "sequential_fps": round(seq_fps, 1),
             "streaming_p50_ms": round(p50_ms, 3),
+            "device_step_ms": round(device_step_ms, 4),
             "batch": B, "frames": T,
             "device": str(jax.devices()[0]),
         },
