@@ -14,3 +14,5 @@ from .smooth_bbox import (kp_to_bbox_param, get_smooth_bbox_params,  # noqa: F40
                           get_bbox)
 from .detectors import (detect_sequence, detect_sequence_cropped,  # noqa: F401
                         detect_sequence_occluded)
+from .aist import (aist_camera_params, aist_sequence_to_work,  # noqa: F401
+                   compute_not_aligned, repair_frame_count)

@@ -151,13 +151,15 @@ def _detector_kp(dataset, key, i, j, Kinv):
     return out
 
 
-def rnn4_features_aist(dataset: Dict, num_cameras: int = 9,
+def rnn4_features_aist(dataset: Dict, num_cameras=None,
                        include_occ: bool = True) -> Tuple[List, List]:
     r"""Camera-frame IMU + normalized keypoints -> camera-frame joints
     (sig_mp.py:444-486), plus the occluded-detection variants."""
     data, label = [], []
     for i in range(len(dataset["pose"])):
-        for j in range(num_cameras):
+        n_cam = (num_cameras if num_cameras is not None
+                 else len(dataset["cam_T"][i]))
+        for j in range(n_cam):
             if dataset["joint2d_mp"][i][j] is None:
                 continue
             Kinv, oric, accc, j3dc, _ = _camera_frame_seq(dataset, i, j)
@@ -182,13 +184,14 @@ def rnn4_features_aist(dataset: Dict, num_cameras: int = 9,
     return data, label
 
 
-def rnn6_features_aist(dataset: Dict, num_cameras: int = 9
-                       ) -> Tuple[List, List]:
+def rnn6_features_aist(dataset: Dict, num_cameras=None) -> Tuple[List, List]:
     r"""Camera-frame IMU + raw keypoints + joints -> absolute translation
     (sig_mp.py:583-616; keypoints K^-1-normalized but NOT bbox-normalized)."""
     data, label = [], []
     for i in range(len(dataset["pose"])):
-        for j in range(num_cameras):
+        n_cam = (num_cameras if num_cameras is not None
+                 else len(dataset["cam_T"][i]))
+        for j in range(n_cam):
             if dataset["joint2d_mp"][i][j] is None:
                 continue
             Kinv, oric, accc, j3dc, tranc = _camera_frame_seq(dataset, i, j)
