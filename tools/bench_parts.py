@@ -1,0 +1,88 @@
+r"""Decompose batched-step cost: which parts of the fused scan cost what.
+
+Runs the offline batched scan under several configs on the current device
+and prints per-variant step times. Development tool (not the driver bench).
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main():
+    from robustcap_tpu.config import SigMPConfig
+    from robustcap_tpu.models import sig_mp
+    from robustcap_tpu.nn.rnn import rnn_scan, cast_params
+    from robustcap_tpu.smpl import ParametricModel, synthetic_smpl_data
+
+    B = int(os.environ.get("B", 512))
+    T = int(os.environ.get("T", 128))
+    dtype = os.environ.get("DTYPE", "f32")
+
+    model = ParametricModel(data=synthetic_smpl_data())
+    params = sig_mp.init_params(jax.random.PRNGKey(0))
+    if dtype == "bf16":
+        params = cast_params(params, jnp.bfloat16)
+
+    rng = np.random.RandomState(0)
+    j2dc = (rng.randn(B, T, 33, 3) * 0.1).astype(np.float32)
+    j2dc[..., 2] = 0.9
+    frames = {
+        "j2dc": jnp.asarray(j2dc),
+        "accc": jnp.asarray(rng.randn(B, T, 6, 3).astype(np.float32)),
+        "oric": jnp.tile(jnp.eye(3), (B, T, 6, 1, 1)).astype(jnp.float32),
+        "first_tran": jnp.zeros((B, T, 3)),
+        "first_tran_valid": jnp.asarray(
+            np.arange(T)[None].repeat(B, 0) == 0),
+        "first_frame": jnp.zeros((B, T), bool),
+        "gravityc": jnp.broadcast_to(jnp.asarray([0.0, -1.0, 0.0]),
+                                     (B, T, 3)),
+    }
+
+    def timeit(fn, *args, reps=3):
+        out = fn(*args)
+        jax.block_until_ready(out)
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            out = fn(*args)
+            jax.block_until_ready(out)
+        return (time.perf_counter() - t0) / reps
+
+    variants = {
+        "full": SigMPConfig(),
+        "no_updaters": SigMPConfig(use_vision_updater=False,
+                                   use_imu_updater=False),
+        "no_vision_updater": SigMPConfig(use_vision_updater=False),
+        "no_floor": SigMPConfig(use_flat_floor=False),
+    }
+    for name, cfg in variants.items():
+        fn = jax.jit(lambda p, f, cfg=cfg:
+                     sig_mp.forward_offline_batched(p, model, cfg, f))
+        dt = timeit(fn, params, frames)
+        print(f"{name:20s} {dt / T * 1e3:8.4f} ms/step "
+              f"({B * T / dt:12.0f} fps)")
+
+    # pure LSTM-bank reference point: the 6 cells on dummy inputs
+    xs = jnp.asarray(rng.randn(T, B, 171).astype(np.float32))
+
+    def lstm_only(params, xs):
+        outs = []
+        for name, insize in [("rnn2", 72), ("rnn3", 141), ("rnn4", 171),
+                             ("rnn6", 240), ("rnn7", 141), ("rnn8", 141)]:
+            x = jnp.zeros((T, B, insize), xs.dtype) + xs[..., :1]
+            outs.append(rnn_scan(params[name], x)[0])
+        return [o.sum() for o in outs]
+
+    dt = timeit(jax.jit(lstm_only), params, xs)
+    print(f"{'lstm_bank_only':20s} {dt / T * 1e3:8.4f} ms/step "
+          f"({B * T / dt:12.0f} fps)")
+
+
+if __name__ == "__main__":
+    main()
