@@ -205,6 +205,11 @@ def make_step(body_model: ParametricModel, cfg: SigMPConfig,
     ancestor = jnp.asarray(body_model.tree.ancestor_matrix)
     # zero-pose bone vectors, [24, 3] (the reference's self.b, sig_mp.py:83-84)
     bone = jnp.asarray(body_model._bone_vector)
+    # landmark-LBS constants: skinning weights / rest positions of the 33
+    # MediaPipe vertices and the zero-pose joints
+    w_sub = body_model._skinning_weights[jnp.asarray(_MP_MASK)]
+    v0_sub = body_model._zero_pose_vertex[jnp.asarray(_MP_MASK)]
+    j0 = body_model._zero_pose_joint
     conf_lo, conf_hi = cfg.conf_range
     inv_range = 1.0 / (conf_hi - conf_lo)
 
@@ -294,7 +299,8 @@ def make_step(body_model: ParametricModel, cfg: SigMPConfig,
             first_reach = carry["first_reach"]
 
         # -- translation from contacts / network velocity (sig_mp.py:186-194)
-        pfoot = light_fk(poseg)[10:12] @ Rcr.T
+        p_all = light_fk(poseg)
+        pfoot = p_all[10:12] @ Rcr.T
         cmax = contact.max()
         v_net = (Rcr @ vr.reshape(3, 1)).reshape(3) * (VEL_SCALE / 60.0)
         d_foot = carry["last_pfoot"] - pfoot
@@ -350,11 +356,24 @@ def make_step(body_model: ParametricModel, cfg: SigMPConfig,
         joint = jnp.zeros((24, 3))
         j_lm = jnp.zeros((33, 3))
         if cfg.use_reproj_opt or cfg.use_vision_updater:
-            _, joint_b, vert_b = body_model.forward_kinematics(
-                pose[None], tran=tran[None], calc_mesh=True,
-                vertex_ids=_MP_MASK)
-            joint = joint_b[0]
-            j_computed = sync_mp3d(vert_b[0], joint)
+            if body_model.use_pose_blendshape:
+                _, joint_b, vert_b = body_model.forward_kinematics(
+                    pose[None], tran=tran[None], calc_mesh=True,
+                    vertex_ids=_MP_MASK)
+                joint = joint_b[0]
+                verts = vert_b[0]
+            else:
+                # FK(IK(poseg) with root := Rcr) has global rotations
+                # (Rcr poseg_0^T) poseg — a single batched 3x3 product — and
+                # its joint positions are the already-computed light-FK
+                # positions rotated the same way: no second tree walk.
+                Rfix = Rcr @ poseg[0].T
+                glb = Rfix @ poseg
+                joint = p_all @ Rfix.T + tran
+                t_j = joint - (glb @ j0[..., None])[..., 0]
+                R_v = jnp.einsum("vj,jrc->vrc", w_sub, glb)
+                verts = (R_v @ v0_sub[..., None])[..., 0] + w_sub @ t_j
+            j_computed = sync_mp3d(verts, joint)
             if cfg.live:
                 fk_now = vision_count == 0
                 j_lm = jnp.where(fk_now, j_computed, j_temp)
