@@ -554,3 +554,25 @@ class StreamingNet:
         frame = make_frame(j2dc, accc, oric, first_tran, first_frame, gravityc)
         self.carry, (pose, tran) = self._step(self.params, self.carry, frame)
         return pose, tran
+
+    def forward_chunk(self, j2dc, accc, oric, gravityc=None):
+        r"""Advance K frames in ONE device dispatch (time-major scan over the
+        chunk), amortizing host->device round trips for near-real-time batch
+        processing. State carries across chunks like per-frame calls;
+        returns (pose [K, 24, 3, 3], tran [K, 3])."""
+        K = int(np.asarray(j2dc).shape[0])
+        if not hasattr(self, "_chunk_fns"):
+            self._chunk_fns = {}
+        if K not in self._chunk_fns:
+            step = make_step(self.body_model, self.cfg)
+
+            @partial(jax.jit, donate_argnums=(1,))
+            def run(params, carry, frames):
+                return jax.lax.scan(partial(step, params), carry, frames)
+
+            self._chunk_fns[K] = run
+        frames = _sequence_frames(j2dc, accc, oric, None, False, gravityc)
+        frames["first_tran_valid"] = jnp.zeros(K, bool)
+        frames["first_frame"] = jnp.zeros(K, bool)
+        self.carry, out = self._chunk_fns[K](self.params, self.carry, frames)
+        return out

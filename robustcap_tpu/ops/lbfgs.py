@@ -259,6 +259,13 @@ def lbfgs_minimize(fun: Callable, x0: jnp.ndarray, max_iter: int = 20,
         return (~state.done) & (state.it < max_iter)
 
     def body(state: _LBFGSState):
+        new = _body_inner(state)
+        # freeze converged lanes: under vmap the loop runs until every lane
+        # finishes, and a finished lane's state must not keep moving
+        return jax.tree.map(
+            lambda n, o: jnp.where(state.done, o, n), new, state)
+
+    def _body_inner(state: _LBFGSState):
         it = state.it
         d = jax.lax.cond(it == 0, lambda s: -s.g, direction, state)
         gtd = jnp.dot(state.g, d)
