@@ -3,7 +3,8 @@ r"""Dataset preprocessing: sensor synthesis, fixtures, augmentation."""
 from .synthesis import (  # noqa: F401
     syn_acc, synthesize_imu, sync_3d_mp, project_points, normalize_keypoints,
     random_camera, synthesize_confidence)
-from .fixtures import build_fixture_dataset, smooth_random_motion  # noqa: F401
+from .fixtures import (build_fixture_dataset,  # noqa: F401
+                       build_fixture_dataset_pw3d, smooth_random_motion)
 from .datasets import (resample_sequence, interpolate_keypoints,  # noqa: F401
                        amass_sequence_to_work, totalcapture_align_imus,
                        check_real_vs_synthetic_imu, preprocess_amass,

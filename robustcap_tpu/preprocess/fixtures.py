@@ -24,7 +24,8 @@ from ..config import IMU_JOINT_MASK, IMU_VERTEX_MASK, MP_VERTEX_MASK
 from ..smpl.model import ParametricModel
 from . import synthesis
 
-__all__ = ["smooth_random_motion", "build_fixture_dataset"]
+__all__ = ["smooth_random_motion", "build_fixture_dataset",
+           "build_fixture_dataset_pw3d"]
 
 IMG_W, IMG_H = 1920, 1080
 
@@ -132,3 +133,52 @@ def build_fixture_dataset(model: ParametricModel, n_seq: int = 2, T: int = 96,
         data["imu_acc"].append(acc)
         data["sync_3d_mp"].append(mp3d_w)
     return data
+
+
+def build_fixture_dataset_pw3d(model: ParametricModel, n_seq: int = 1,
+                               T: int = 64, seed: int = 0,
+                               conf_fn=None) -> Dict[str, List]:
+    r"""Synthetic dataset in the 3DPW work schema (preprocess.py:452-497):
+    camera-frame pose/translation/IMUs, per-frame extrinsics (a slowly
+    rotating hand-held camera), keypoints stored as raw pixels."""
+    base = build_fixture_dataset(model, n_seq=n_seq, T=T, n_cam=1,
+                                 seed=seed, conf_fn=conf_fn)
+    import jax.numpy as jnp
+    from .. import math as M
+
+    out = {k: [] for k in ["posec", "tranc", "imu_oric", "imu_accc",
+                           "joint2d_mp", "cam_K", "cam_T"]}
+    rng = np.random.RandomState(seed + 1)
+    for i in range(n_seq):
+        K = base["cam_K"][i][0]
+        Tcw0 = base["cam_T"][i][0]
+        # slow per-frame camera jitter around the static extrinsics
+        yaw = np.cumsum(rng.normal(0, 0.001, T)).astype(np.float32)
+        cam_T = []
+        for t in range(T):
+            Rz = np.array(M.axis_angle_to_rotation_matrix(
+                jnp.asarray([[0.0, yaw[t], 0.0]])))[0]
+            Tt = Tcw0.copy()
+            Tt[:3, :3] = Rz @ Tcw0[:3, :3]
+            cam_T.append(Tt)
+        cam_T = np.stack(cam_T)
+
+        pose = np.array(M.axis_angle_to_rotation_matrix(jnp.asarray(
+            np.asarray(base["pose"][i], np.float32).reshape(-1, 3)))
+        ).reshape(T, 24, 3, 3)
+        R0 = Tcw0[:3, :3]
+        pose[:, 0] = np.einsum("ij,tjk->tik", R0, pose[:, 0])
+        tranc = base["tran"][i] @ R0.T + Tcw0[:3, 3]
+        oric = np.einsum("ij,tnjk->tnik", R0, base["imu_ori"][i])
+        accc = np.einsum("ij,tnj->tni", R0, base["imu_acc"][i])
+        kp = base["joint2d_mp"][i][0].copy()
+        kp[..., 0] *= IMG_W
+        kp[..., 1] *= IMG_H
+        out["posec"].append(pose)
+        out["tranc"].append(tranc.astype(np.float32))
+        out["imu_oric"].append(oric.astype(np.float32))
+        out["imu_accc"].append(accc.astype(np.float32))
+        out["joint2d_mp"].append(kp)
+        out["cam_K"].append(K)
+        out["cam_T"].append(cam_T)
+    return out
