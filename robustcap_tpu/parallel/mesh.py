@@ -63,16 +63,17 @@ def make_dp_train_step(forward_fn: Callable, loss_fn: Callable, tx,
             s[batch_axis] = axis_name
         return NamedSharding(mesh, P(*s))
 
-    def step(params, opt_state, xs, ys, lengths, init, rng):
+    def step(params, opt_state, xs, ys, lengths, init, rng, scale=1.0):
         def compute(p):
             out = forward_fn(p, xs, lengths, init, rng)
             return loss_fn(out, ys, lengths)
 
         loss, grads = jax.value_and_grad(compute)(params)
         updates, opt_state = tx.update(grads, opt_state, params)
+        updates = jax.tree.map(lambda u: u * scale, updates)
         return optax.apply_updates(params, updates), opt_state, loss
 
-    def jit_step(params, opt_state, xs, ys, lengths, init, rng):
+    def jit_step(params, opt_state, xs, ys, lengths, init, rng, scale=1.0):
         xs_s = jax.device_put(xs, spec_for(xs))
         ys_s = jax.device_put(ys, spec_for(ys))
         lengths_s = jax.device_put(
@@ -82,7 +83,7 @@ def make_dp_train_step(forward_fn: Callable, loss_fn: Callable, tx,
         params = jax.device_put(params, repl)
         opt_state = jax.device_put(opt_state, repl)
         return _compiled(params, opt_state, xs_s, ys_s, lengths_s, init_s,
-                         rng)
+                         rng, jnp.asarray(scale, jnp.float32))
 
     _compiled = jax.jit(step, out_shardings=(repl, repl, repl))
     return jit_step

@@ -57,7 +57,7 @@ def train(params, forward_fn: Callable, loss_fn: Callable,
           clip_grad_norm: float = 0.0, load_last_states: bool = True,
           lr_scheduler_patience: Optional[int] = None,
           lr_scheduler_factor: float = 0.1, seed: int = 0,
-          log_metrics: bool = True):
+          log_metrics: bool = True, mesh=None):
     r"""Train one RNN module.
 
     ``forward_fn(params, xs, lengths, init, rng) -> ys`` and
@@ -106,17 +106,23 @@ def train(params, forward_fn: Callable, loss_fn: Callable,
         print("resumed: epoch %d it %d total_it %d" %
               (train_info["epoch"], train_info["it"], train_info["total_it"]))
 
-    @jax.jit
-    def train_step(params, opt_state, xs, ys, lengths, init, rng, scale):
-        def compute(p):
-            out = forward_fn(p, xs, lengths, init, rng)
-            return loss_fn(out, ys, lengths)
+    if mesh is not None:
+        # data-parallel: params replicated, batch sharded, grad all-reduce
+        # inserted by XLA (SURVEY.md §2.3 disposition)
+        from ..parallel.mesh import make_dp_train_step
+        train_step = make_dp_train_step(forward_fn, loss_fn, tx, mesh)
+    else:
+        @jax.jit
+        def train_step(params, opt_state, xs, ys, lengths, init, rng, scale):
+            def compute(p):
+                out = forward_fn(p, xs, lengths, init, rng)
+                return loss_fn(out, ys, lengths)
 
-        loss, grads = jax.value_and_grad(compute)(params)
-        updates, new_opt = tx.update(grads, opt_state, params)
-        # ReduceLROnPlateau folded in as a post-hoc update scale
-        updates = jax.tree.map(lambda u: u * scale, updates)
-        return optax.apply_updates(params, updates), new_opt, loss
+            loss, grads = jax.value_and_grad(compute)(params)
+            updates, new_opt = tx.update(grads, opt_state, params)
+            # ReduceLROnPlateau folded in as a post-hoc update scale
+            updates = jax.tree.map(lambda u: u * scale, updates)
+            return optax.apply_updates(params, updates), new_opt, loss
 
     @jax.jit
     def eval_step(params, xs, ys, lengths, init):
@@ -145,7 +151,8 @@ def train(params, forward_fn: Callable, loss_fn: Callable,
     for epoch in range(train_info["epoch"], num_epoch):
         train_loss, n_step = 0.0, 0
         epoch_vald = 0.0
-        batches = list(padded_batches(train_dataset, batch_size, rng_np))
+        batches = list(padded_batches(train_dataset, batch_size, rng_np,
+                                      drop_last=mesh is not None))
         n_between = (num_iter_between_vald if num_iter_between_vald > 0
                      else len(batches))
         for i, (xs, ys, lengths, init) in enumerate(batches):
