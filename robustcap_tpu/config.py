@@ -12,7 +12,7 @@ from __future__ import annotations
 
 import dataclasses
 import os
-from typing import Optional, Tuple
+from typing import Tuple
 
 __all__ = [
     "Paths", "paths", "AmassSplits", "HUMBIBody33", "SigMPConfig",

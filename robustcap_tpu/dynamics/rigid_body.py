@@ -22,7 +22,6 @@ with the bias c from the classic identity
 from __future__ import annotations
 
 from functools import partial
-from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -12,12 +12,10 @@ per-frame camera transforms are whole-sequence einsums.
 from __future__ import annotations
 
 import os
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
-
-from ..config import EVAL_PROFILES
 
 __all__ = ["EvalSequence", "load_torch_file", "build_aist_sequences",
            "build_tc_sequences", "build_pw3d_sequences", "bucket_sequences"]

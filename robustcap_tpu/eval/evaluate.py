@@ -18,15 +18,13 @@ exactly like the reference (evaluate.py:55,98,106-110).
 from __future__ import annotations
 
 import os
-from functools import partial
-from typing import List, Optional
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..config import EVAL_PROFILES, SigMPConfig, paths
-from ..models import sig_mp
+from ..config import SigMPConfig, paths
 from ..ops.procrustes import reconstruction_error_np
 from ..smpl.model import ParametricModel, default_body_model
 from .datasets import (build_aist_sequences, build_pw3d_sequences,

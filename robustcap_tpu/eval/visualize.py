@@ -17,7 +17,7 @@ import numpy as np
 
 from ..config import SigMPConfig, paths
 from ..models import sig_mp
-from ..smpl.model import ParametricModel, default_body_model
+from ..smpl.model import default_body_model
 from .datasets import build_aist_sequences, load_torch_file
 
 __all__ = ["run_single_view", "view_aist", "view_aist_unity"]

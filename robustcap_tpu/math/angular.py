@@ -18,7 +18,6 @@ Conventions (identical to the reference):
 from __future__ import annotations
 
 import enum
-from functools import partial
 
 import jax
 import jax.numpy as jnp

@@ -32,7 +32,7 @@ Network bank (sig_mp.py:52-81) — all 2-layer LSTMs, torch-layout params:
 from __future__ import annotations
 
 from functools import partial
-from typing import Dict, Optional, Tuple
+from typing import Dict
 
 import jax
 import jax.numpy as jnp

@@ -19,7 +19,7 @@ All functions are pure and jit/vmap/grad-safe.
 
 from __future__ import annotations
 
-from typing import List, Optional, Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp

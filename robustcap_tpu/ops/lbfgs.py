@@ -17,7 +17,6 @@ whole SMPLify refinement compiles to a single XLA program.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Callable, NamedTuple
 
 import jax

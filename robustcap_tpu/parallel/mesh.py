@@ -12,8 +12,7 @@ batch axis, parameters replicated, gradient all-reduce inserted by XLA.
 
 from __future__ import annotations
 
-from functools import partial
-from typing import Callable, Optional
+from typing import Callable
 
 import jax
 import jax.numpy as jnp

@@ -29,7 +29,6 @@ import pickle
 from dataclasses import dataclass
 from typing import Optional
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 

@@ -23,7 +23,6 @@ Parity notes:
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Optional
 
 import jax

@@ -19,7 +19,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import paths
-from ..models.sig_mp import RNN_SPECS, init_params
+from ..models.sig_mp import RNN_SPECS
 from ..nn.rnn import init_net_apply, rnn_forward_padded
 from ..smpl.model import ParametricModel, default_body_model
 from . import features as F

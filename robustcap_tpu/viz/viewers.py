@@ -15,7 +15,7 @@ tests can assert on the captured data.
 from __future__ import annotations
 
 from collections import deque
-from typing import List, Optional, Sequence
+from typing import List, Sequence
 
 import numpy as np
 
