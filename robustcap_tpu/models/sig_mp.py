@@ -111,8 +111,14 @@ def get_bbox_scale(uv: jnp.ndarray) -> jnp.ndarray:
 def _bbox_center_normalize(j2dc: jnp.ndarray) -> jnp.ndarray:
     r"""CLIFF-style keypoint normalization (sig_mp.py:150-152): divide x/y by
     the bbox scale, then root-center every row *except* row 23 around the
-    (pre-centering) row 23."""
-    scale = get_bbox_scale(j2dc)
+    (pre-centering) row 23.
+
+    The scale is eps-guarded: unlike the reference, the branchless step also
+    evaluates this on masked-out frames (e.g. all-zero detector-failure
+    placeholders, bbox scale 0), and a NaN here would leak into carried
+    state. Real detections have body-sized scales, so the guard is inert
+    when the value is actually used."""
+    scale = jnp.maximum(get_bbox_scale(j2dc), 1e-6)
     xy = j2dc[:, :2] / scale
     center = xy[23:24]
     xy_centered = xy - center
