@@ -100,13 +100,18 @@ def run_sequences(params, body_model: ParametricModel, cfg: SigMPConfig,
     results: List = [None] * len(seqs)
     run = _make_batched_fn(body_model, cfg, mesh)
     n_dev = mesh.devices.size if mesh is not None else 1
+    # two-phase: dispatch every bucket first (jax dispatch is async, so the
+    # next bucket's host assembly and transfer overlap the previous bucket's
+    # compute), then fetch
+    pending = []
     for indices, pad_len in bucket_sequences(seqs, max_bucket, pad_to_multiple):
         batch = [seqs[i] for i in indices]
         # pad the batch so it divides the data axis
         while mesh is not None and len(batch) % n_dev != 0:
             batch.append(batch[-1])
         frames = stack_frames(batch, pad_len, first_tran_mode)
-        pose, tran = run(params, frames)
+        pending.append((indices, run(params, frames)))
+    for indices, (pose, tran) in pending:
         pose = np.asarray(pose)
         tran = np.asarray(tran)
         for k, i in enumerate(indices):
