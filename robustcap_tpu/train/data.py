@@ -49,11 +49,13 @@ class SeqDataset:
 
 
 def padded_batches(dataset: SeqDataset, batch_size: int, rng=None,
-                   shuffle: bool = True, drop_last: bool = False):
+                   shuffle: bool = True, drop_last: bool = False,
+                   pad_to: int = 0):
     r"""Yield (xs [T, B, D], labels [T, B, L], lengths [B], init [B, L]|None).
 
-    Pads to the batch max length; ``init`` is each chunk's first label for
-    RNNWithInit datasets.
+    Pads to the batch max length (or ``pad_to`` when given — e.g. the global
+    max, so every batch shares one compiled shape); ``init`` is each chunk's
+    first label for RNNWithInit datasets.
     """
     n = len(dataset)
     order = np.arange(n)
@@ -71,7 +73,7 @@ def padded_batches(dataset: SeqDataset, batch_size: int, rng=None,
             datas.append(d)
         labels = [dataset.label[i] for i in idx]
         lengths = np.asarray([len(d) for d in datas], np.int32)
-        T = int(lengths.max())
+        T = max(int(lengths.max()), pad_to)
         B = len(idx)
         xs = np.zeros((T, B, datas[0].shape[-1]), np.float32)
         ys = np.zeros((T, B, labels[0].shape[-1]), np.float32)

@@ -128,12 +128,16 @@ def train(params, forward_fn: Callable, loss_fn: Callable,
         out = forward_fn(params, xs, lengths, init, None)
         return eval_fn(out, ys, lengths)
 
+    vald_max_len = (max(len(d) for d in valid_dataset.data)
+                    if valid_dataset is not None else 0)
+
     def run_validation(params):
         if valid_dataset is None:
             return None
         tot, nb = 0.0, 0
         for xs, ys, lengths, init in padded_batches(
-                valid_dataset, valid_batch_size, shuffle=False):
+                valid_dataset, valid_batch_size, shuffle=False,
+                pad_to=vald_max_len):
             tot += float(eval_step(params, jnp.asarray(xs), jnp.asarray(ys),
                                    jnp.asarray(lengths),
                                    None if init is None else jnp.asarray(init)))
