@@ -25,7 +25,26 @@ import optax
 
 from .data import SeqDataset, padded_batches
 
-__all__ = ["train", "save_pytree", "load_pytree"]
+__all__ = ["train", "save_pytree", "load_pytree", "batch_inference"]
+
+
+def batch_inference(params, forward_fn, dataset, batch_size: int = 64):
+    r"""Run a trained module over a dataset, returning per-sequence outputs
+    (the reference's ``articulate/utils/torch/test.py:12-25`` helper)."""
+    import numpy as np
+
+    from .data import padded_batches
+
+    fn = jax.jit(lambda p, xs, lengths, init:
+                 forward_fn(p, xs, lengths, init, None))
+    outs = []
+    for xs, _, lengths, init in padded_batches(dataset, batch_size,
+                                               shuffle=False):
+        ys = np.asarray(fn(params, jnp.asarray(xs), jnp.asarray(lengths),
+                           None if init is None else jnp.asarray(init)))
+        for b, L in enumerate(np.asarray(lengths)):
+            outs.append(ys[:L, b])
+    return outs
 
 
 def save_pytree(tree, path):
