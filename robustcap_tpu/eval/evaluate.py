@@ -99,10 +99,15 @@ def _maybe_smplify(results, seqs, run_smplify: bool):
 
 def evaluate_sequences(seqs, params=None, model=None, cfg=SigMPConfig(),
                        first_tran_mode="gt", run_smplify=False, mesh=None,
-                       cache_path=None, pad_to_multiple=128, max_bucket=32):
+                       cache_path=None, pad_to_multiple=128, max_bucket=32,
+                       extended_metrics=False):
     r"""Shared eval pipeline: run (or load cached), refine, score.
 
-    Returns dict with per-sequence arrays and aggregate metrics."""
+    Returns dict with per-sequence arrays and aggregate metrics.
+    ``extended_metrics=True`` additionally aggregates the FullMotionEvaluator
+    battery (joint/vertex/angle errors, jerk, 1-s drift, tracking error —
+    defined but never wired in the reference, SURVEY.md §6) under
+    ``"full_motion"`` [11, 2]."""
     model = model or default_body_model()
     if cache_path is not None and os.path.exists(cache_path):
         import torch
@@ -133,7 +138,7 @@ def evaluate_sequences(seqs, params=None, model=None, cfg=SigMPConfig(),
     tran_eval = PositionErrorEvaluator()
     tran_err = np.asarray([float(tran_eval(tran_p[i], tran_t[i]))
                            for i in range(len(seqs))])
-    return {
+    out = {
         "pose_p": pose_p, "tran_p": tran_p,
         "pose_t": pose_t, "tran_t": tran_t,
         "errors": errors, "tran_errors": tran_err, "valid": valid,
@@ -142,6 +147,14 @@ def evaluate_sequences(seqs, params=None, model=None, cfg=SigMPConfig(),
         "pampjpe": float(errors[valid, 2].mean()),
         "tran_error": float(tran_err[valid].mean()),
     }
+    if extended_metrics:
+        from .evaluator import FullMotionEvaluator
+        fme = FullMotionEvaluator(model=model)
+        per_seq = [np.asarray(fme(pose_p[i], pose_t[i],
+                                  tran_p=tran_p[i], tran_t=tran_t[i]))
+                   for i in range(len(seqs)) if valid[i]]
+        out["full_motion"] = np.stack(per_seq).mean(axis=0)
+    return out
 
 
 def evaluate_aist_ours(run_smplify: bool = True, params=None, model=None,
