@@ -237,6 +237,10 @@ class FullMotionEvaluator(_BasePoseEvaluator):
             mje = mlae = mgae = jnp.zeros((1, 1))
 
         def ms(x):
+            if x.size == 0 or x.shape[0] < 2:
+                # sequences shorter than the metric window (e.g. < fps
+                # frames for the 1-s drift): report zeros instead of NaN
+                return jnp.zeros(2)
             return jnp.asarray([x.mean(), x.std(axis=0, ddof=1).mean()])
 
         return jnp.stack([ms(je), ms(ve), ms(lae), ms(gae), ms(jkp), ms(jkt),
