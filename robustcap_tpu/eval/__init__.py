@@ -12,3 +12,4 @@ from .evaluate import (  # noqa: F401
     cal_mpjpe, evaluate_aist_ours, evaluate_tc_ours, evaluate_pw3d_ours,
     evaluate_sequences)
 from .visualize import run_single_view, view_aist, view_aist_unity  # noqa: F401
+from .contacts import contact_labels_from_joints, evaluate_contacts  # noqa: F401

@@ -195,7 +195,8 @@ def _masked_state(cond, new, old):
 
 
 def make_step(body_model: ParametricModel, cfg: SigMPConfig,
-              include_first_frame_step: bool = True):
+              include_first_frame_step: bool = True,
+              output_contacts: bool = False):
     r"""Build the pure per-frame step closure over body-model constants.
 
     Returns ``step(params, carry, frame) -> (carry, (pose [24,3,3], tran [3]))``
@@ -443,6 +444,8 @@ def make_step(body_model: ParametricModel, cfg: SigMPConfig,
             "j_temp": j_temp,
             "pc_first": pc_first,
         }
+        if output_contacts:
+            return new_carry, (pose, tran, contact)
         return new_carry, (pose, tran)
 
     return step
@@ -498,21 +501,25 @@ def _sequence_frames(j2dc, accc, oric, first_tran, first_frame, gravityc,
 
 
 def forward_offline(params, body_model, cfg, j2dc, accc, oric,
-                    first_tran=None, first_frame=False, gravityc=None):
+                    first_tran=None, first_frame=False, gravityc=None,
+                    return_contacts: bool = False):
     r"""Whole-sequence inference: ``lax.scan`` of the fused steady step with
     the first-frame rnn6 evaluation hoisted out of the scan.
 
     Mirrors the reference's per-frame loop over ``forward_online``
-    (evaluate.py:75-81) in one device launch.
+    (evaluate.py:75-81) in one device launch. With ``return_contacts`` the
+    foot-contact probabilities [T, 2] are returned too (the head the
+    reference computes but never exposes, sig_mp.py:170).
     """
-    step = make_step(body_model, cfg, include_first_frame_step=False)
+    step = make_step(body_model, cfg, include_first_frame_step=False,
+                     output_contacts=return_contacts)
     frames = _sequence_frames(j2dc, accc, oric, first_tran, first_frame,
                               gravityc)
     frame0 = jax.tree.map(lambda x: x[0], frames)
     carry = prescan_first_frame(params, body_model, init_carry(params),
                                 frame0)
-    _, (pose, tran) = jax.lax.scan(partial(step, params), carry, frames)
-    return pose, tran
+    _, out = jax.lax.scan(partial(step, params), carry, frames)
+    return out
 
 
 def forward_offline_batched(params, body_model, cfg, frames_batched,
