@@ -50,6 +50,18 @@ class CalibrationResult:
     R_CI: np.ndarray      # inertial -> camera frame, [3, 3]
     R_CM: np.ndarray      # mocap -> camera frame, [3, 3]
 
+    def save(self, path: str):
+        r"""Persist the calibration (the reference caches RMI.pt/RCI.pt in
+        data/temp, live_demo_sync.py:75,87)."""
+        np.savez(path, R_MI=self.R_MI, R_SB=self.R_SB, R_CI=self.R_CI,
+                 R_CM=self.R_CM)
+
+    @staticmethod
+    def load(path: str) -> "CalibrationResult":
+        d = np.load(path)
+        return CalibrationResult(R_MI=d["R_MI"], R_SB=d["R_SB"],
+                                 R_CI=d["R_CI"], R_CM=d["R_CM"])
+
 
 def tpose_calibration(flat_sensor_quats: np.ndarray,
                       tpose_quats: np.ndarray,
