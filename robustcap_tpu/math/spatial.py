@@ -24,7 +24,7 @@ import jax.numpy as jnp
 import numpy as np
 
 __all__ = [
-    "KinematicTree", "transformation_matrix", "decode_transformation_matrix",
+    "KinematicTree", "mat3_mul", "transformation_matrix", "decode_transformation_matrix",
     "inverse_transformation_matrix", "bone_vector_to_joint_position",
     "joint_position_to_bone_vector", "forward_kinematics_R",
     "inverse_kinematics_R", "forward_kinematics_T", "inverse_kinematics_T",
@@ -99,6 +99,17 @@ def get_tree(parent) -> KinematicTree:
     return tree
 
 
+def mat3_mul(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    r"""Batched 3x3 matrix product as broadcast multiply-sum.
+
+    Two reasons over ``a @ b``: (1) tiny dots pad badly onto the MXU's
+    128-lane tiles — elementwise VPU math is the right shape for [..., 3, 3];
+    (2) XLA:CPU's simplifier miscompiles vmap(jvp(dot_general)) with gathered
+    non-leading batch dims (hit by vmapped SMPLify gradients through the
+    level-parallel FK)."""
+    return (a[..., :, :, None] * b[..., None, :, :]).sum(-2)
+
+
 def transformation_matrix(R: jnp.ndarray, p: jnp.ndarray) -> jnp.ndarray:
     r"""Homogeneous transform T_sb from R [*, 3, 3] and p [*, 3]
     (reference: spatial.py:60)."""
@@ -149,7 +160,7 @@ def forward_kinematics_R(R_local: jnp.ndarray, parent) -> jnp.ndarray:
     for level in tree.levels:
         idx = np.array(level)
         pidx = tree.parent_clamped[idx]
-        R_glb = R_glb.at[:, idx].set(R_glb[:, pidx] @ R_local[:, idx])
+        R_glb = R_glb.at[:, idx].set(mat3_mul(R_glb[:, pidx], R_local[:, idx]))
     return R_glb
 
 
@@ -159,7 +170,7 @@ def inverse_kinematics_R(R_global: jnp.ndarray, parent) -> jnp.ndarray:
     tree = get_tree(parent)
     R_global = R_global.reshape(R_global.shape[0], -1, 3, 3)
     parent_R = R_global[:, tree.parent_clamped]
-    local = jnp.swapaxes(parent_R, -1, -2) @ R_global
+    local = mat3_mul(jnp.swapaxes(parent_R, -1, -2), R_global)
     return local.at[:, 0].set(R_global[:, 0])
 
 
@@ -199,7 +210,8 @@ def forward_kinematics(R_local: jnp.ndarray, p_local: jnp.ndarray, parent):
     for level in tree.levels:
         idx = np.array(level)
         pidx = tree.parent_clamped[idx]
-        R_glb = R_glb.at[:, idx].set(R_glb[:, pidx] @ R_local[:, idx])
+        R_glb = R_glb.at[:, idx].set(mat3_mul(R_glb[:, pidx], R_local[:, idx]))
         p_glb = p_glb.at[:, idx].set(
-            p_glb[:, pidx] + (R_glb[:, pidx] @ p_local[:, idx, :, None])[..., 0])
+            p_glb[:, pidx]
+            + (R_glb[:, pidx] * p_local[:, idx, None, :]).sum(-1))
     return R_glb, p_glb

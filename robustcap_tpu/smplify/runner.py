@@ -36,7 +36,8 @@ from ..smpl.model import ParametricModel, default_body_model
 from .losses import temporal_body_fitting_loss
 from .prior import MaxMixturePrior
 
-__all__ = ["TemporalSMPLify", "smplify_runner"]
+__all__ = ["TemporalSMPLify", "smplify_runner", "make_smplify_fit",
+           "refine_sequences_batched"]
 
 _MP_MASK = np.asarray(MP_VERTEX_MASK, np.int32)
 _JI_MASK = np.asarray(IMU_JOINT_MASK, np.int32)
@@ -159,6 +160,122 @@ def _pad_to(x, L):
     if pad <= 0:
         return x
     return np.concatenate([x, np.repeat(x[-1:], pad, axis=0)], axis=0)
+
+
+def make_smplify_fit(model: ParametricModel, prior: MaxMixturePrior,
+                     use_head: bool = False, max_iter: int = 20,
+                     lr: float = 1.0, num_iters: int = 1):
+    r"""Pure, vmappable single-sequence refinement.
+
+    ``fit(pose0_R [T,24,3,3], tran0 [T,3], kp_px [T,33,3], imu_ori
+    [T,6,3,3], cam_k [3,3], mask [T]) -> (pose_R, tran, loss_before [T],
+    loss_after [T])``. Unlike ``TemporalSMPLify`` (which mirrors the
+    reference's stateful object), everything — camera, IMUs, targets — is an
+    argument, so whole groups of sequences refine in one vmapped LBFGS
+    program (the while_loop freezes converged lanes).
+    """
+    ign = jnp.asarray(IGN_MP_JOINTS_HEAD if use_head else IGN_MP_JOINTS)
+
+    def landmarks(pose_R, tran):
+        gp, joints, verts = model.forward_kinematics(
+            pose_R, tran=tran, calc_mesh=True, vertex_ids=_MP_MASK)
+        return gp, _sync_mp3d_batch(verts, joints)
+
+    def reproj_loss(body_pose, model_joints, gp, kp_px, conf, target_3d,
+                    imu_ori, cam_k):
+        return temporal_body_fitting_loss(
+            body_pose, model_joints, kp_px[..., :2], conf, prior, cam_k,
+            target_3d, imu_ori, gp[:, _JI_MASK], output="reprojection")
+
+    def fit(pose0_R, tran0, kp_px, imu_ori, cam_k, mask):
+        B = pose0_R.shape[0]
+        conf = kp_px[..., 2].at[:, ign].set(0.0) * mask[:, None]
+        gp0, lm0 = landmarks(pose0_R, tran0)
+        target_3d = jax.lax.stop_gradient(lm0)
+        body_pose0 = M.rotation_matrix_to_axis_angle(pose0_R).reshape(B, -1)
+        loss_before = reproj_loss(body_pose0, lm0, gp0, kp_px, conf,
+                                  target_3d, imu_ori, cam_k).mean(-1)
+
+        def loss_flat(x):
+            bp = x[:B * 72].reshape(B, 72)
+            tr = x[B * 72:].reshape(B, 3)
+            pose_R = M.axis_angle_to_rotation_matrix(
+                bp.reshape(-1, 3)).reshape(B, 24, 3, 3)
+            gp, mj = landmarks(pose_R, tr)
+            return temporal_body_fitting_loss(
+                bp, mj, kp_px[..., :2], conf, prior, cam_k, target_3d,
+                imu_ori, gp[:, _JI_MASK], output="sum")
+
+        x = jnp.concatenate([body_pose0.reshape(-1), tran0.reshape(-1)])
+        for _ in range(num_iters):
+            x, _, _ = lbfgs_minimize(loss_flat, x, max_iter=max_iter, lr=lr)
+        bp = x[:B * 72].reshape(B, 72)
+        tr = x[B * 72:].reshape(B, 3)
+        pose_R = M.axis_angle_to_rotation_matrix(
+            bp.reshape(-1, 3)).reshape(B, 24, 3, 3)
+        gp, mj = landmarks(pose_R, tr)
+        loss_after = reproj_loss(bp, mj, gp, kp_px, conf, target_3d,
+                                 imu_ori, cam_k).mean(-1)
+        return pose_R, tr, loss_before, loss_after
+
+    return fit
+
+
+def refine_sequences_batched(results, seqs, lr: float = 0.001,
+                             opt_steps: int = 1, use_head: bool = False,
+                             model=None, prior=None,
+                             pad_to_multiple: int = 128,
+                             loss_threshold: float = 20000.0,
+                             group_size: int = 16):
+    r"""Refine many sequences with grouped, vmapped LBFGS.
+
+    Groups same-padded-length sequences (up to ``group_size``) and runs one
+    vmapped fit per group — each lane optimizes independently and converged
+    lanes freeze, so per-sequence results match standalone runs up to float
+    reduction order. The reference's per-frame gate semantics are applied
+    per sequence (frame-0 reprojection loss > threshold -> keep the network
+    output, run.py:27-29). Returns [(pose, tran)] in input order.
+    """
+    model = model or default_body_model()
+    prior = prior or MaxMixturePrior("data/dataset_work", num_gaussians=8)
+    fit = make_smplify_fit(model, prior, use_head=use_head, lr=lr,
+                           num_iters=opt_steps)
+    vfit = jax.jit(jax.vmap(fit))
+
+    # group indices by padded length
+    lengths = {}
+    for i, s in enumerate(seqs):
+        L = -(-s.length // pad_to_multiple) * pad_to_multiple
+        lengths.setdefault(L, []).append(i)
+
+    out = [None] * len(seqs)
+    for L, idxs in lengths.items():
+        for g in range(0, len(idxs), group_size):
+            group = idxs[g:g + group_size]
+            pose0 = np.stack([_pad_to(np.asarray(results[i][0], np.float32),
+                                      L) for i in group])
+            tran0 = np.stack([_pad_to(np.asarray(results[i][1], np.float32),
+                                      L) for i in group])
+            kp = np.stack([_pad_to(np.asarray(seqs[i].j2dc_px, np.float32),
+                                   L) for i in group])
+            ori = np.stack([_pad_to(np.asarray(seqs[i].oric, np.float32), L)
+                            for i in group])
+            cam = np.stack([np.asarray(seqs[i].cam_K, np.float32)
+                            for i in group])
+            mask = np.stack([(np.arange(L) < seqs[i].length)
+                             .astype(np.float32) for i in group])
+            pose_R, tr, before, after = vfit(
+                jnp.asarray(pose0), jnp.asarray(tran0), jnp.asarray(kp),
+                jnp.asarray(ori), jnp.asarray(cam), jnp.asarray(mask))
+            pose_R, tr = np.asarray(pose_R), np.asarray(tr)
+            before = np.asarray(before)
+            for k, i in enumerate(group):
+                T = seqs[i].length
+                if before[k, 0] > loss_threshold:   # gate (run.py:28)
+                    out[i] = results[i]
+                else:
+                    out[i] = (pose_R[k, :T], tr[k, :T])
+    return out
 
 
 def smplify_runner(pred_pose, pred_tran, j2dc, imu_ori, batch_size, cam_k,
