@@ -39,6 +39,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .. import math as M
+from ..math.spatial import mat3_mul
 from ..config import (IMU_JOINT_MASK, MP_VERTEX_MASK, SigMPConfig, VEL_SCALE)
 from ..nn.rnn import (init_net_apply, init_rnn_params, init_state,
                       rnn_params_from_torch, rnn_step)
@@ -224,9 +225,9 @@ def make_step(body_model: ParametricModel, cfg: SigMPConfig,
         r"""Joint positions from *global* rotations via bone vectors
         (sig_mp.py:131-135): pb[i] = R_glb[parent[i]] @ b[i], prefix-summed
         down the tree with the ancestor matrix."""
-        pb = (glb_pose[parent_clamped] @ bone[:, :, None])[..., 0]
+        pb = (glb_pose[parent_clamped] * bone[:, None, :]).sum(-1)
         pb = pb.at[0].set(0.0)
-        return ancestor @ pb
+        return (ancestor[:, :, None] * pb[None, :, :]).sum(1)
 
     def step(params, carry, frame):
         st = carry["states"]
@@ -240,8 +241,8 @@ def make_step(body_model: ParametricModel, cfg: SigMPConfig,
         Rcr = oric[-1]
 
         # -- inertial branch (sig_mp.py:142-145): rotate into root frame
-        accr = accc @ Rcr
-        orir = Rcr.T @ oric
+        accr = (accc[:, :, None] * Rcr[None]).sum(1)
+        orir = mat3_mul(Rcr.T[None], oric)
         out2, st2_new = rnn_step(params["rnn2"], _cat(accr, orir), st["rnn2"])
         j3dr_i = out2
         out3, st3_new = rnn_step(params["rnn3"], _cat(accr, orir, j3dr_i),
@@ -256,7 +257,7 @@ def make_step(body_model: ParametricModel, cfg: SigMPConfig,
                                  st["rnn4"])
         st4_mid = _masked_state(vis_ran, st4_new, st["rnn4"])
         j3dc = out4
-        j3dr_v = j3dc.reshape(23, 3) @ Rcr
+        j3dr_v = (j3dc.reshape(23, 3)[:, :, None] * Rcr[None]).sum(1)
 
         # rnn6 can step twice on a first frame (sig_mp.py:156 then :161/165)
         in6 = _cat(accc, oric, j2dc, j3dc)
@@ -307,9 +308,9 @@ def make_step(body_model: ParametricModel, cfg: SigMPConfig,
 
         # -- translation from contacts / network velocity (sig_mp.py:186-194)
         p_all = light_fk(poseg)
-        pfoot = p_all[10:12] @ Rcr.T
+        pfoot = (p_all[10:12, None, :] * Rcr[None]).sum(-1)
         cmax = contact.max()
-        v_net = (Rcr @ vr.reshape(3, 1)).reshape(3) * (VEL_SCALE / 60.0)
+        v_net = (Rcr * vr.reshape(1, 3)).sum(1) * (VEL_SCALE / 60.0)
         d_foot = carry["last_pfoot"] - pfoot
         v_contact = jnp.where(jnp.argmax(contact) == 0, d_foot[0], d_foot[1])
         use_net = (cmax < cfg.contact_threshold) | ~carry["has_pfoot"]
@@ -374,12 +375,12 @@ def make_step(body_model: ParametricModel, cfg: SigMPConfig,
                 # (Rcr poseg_0^T) poseg — a single batched 3x3 product — and
                 # its joint positions are the already-computed light-FK
                 # positions rotated the same way: no second tree walk.
-                Rfix = Rcr @ poseg[0].T
-                glb = Rfix @ poseg
-                joint = p_all @ Rfix.T + tran
-                t_j = joint - (glb @ j0[..., None])[..., 0]
+                Rfix = mat3_mul(Rcr, poseg[0].T)
+                glb = mat3_mul(Rfix[None], poseg)
+                joint = (p_all[:, None, :] * Rfix[None]).sum(-1) + tran
+                t_j = joint - (glb * j0[:, None, :]).sum(-1)
                 R_v = jnp.einsum("vj,jrc->vrc", w_sub, glb)
-                verts = (R_v @ v0_sub[..., None])[..., 0] + w_sub @ t_j
+                verts = (R_v * v0_sub[:, None, :]).sum(-1) + w_sub @ t_j
             j_computed = sync_mp3d(verts, joint)
             if cfg.live:
                 fk_now = vision_count == 0
