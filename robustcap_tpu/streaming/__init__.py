@@ -9,3 +9,4 @@ from .sync import (tpose_calibration, detect_jump_sync, detect_spikes,  # noqa: 
 from .server import LiveServer, run_live_demo  # noqa: F401
 from .latency import measure_streaming_latency  # noqa: F401
 from .unity import MotionViewer  # noqa: F401
+from .multiplex import StreamingMultiplexer  # noqa: F401
