@@ -2,7 +2,8 @@ r"""Training: generic loop, data pipeline, per-RNN trainers."""
 
 from .data import SeqDataset, padded_batches  # noqa: F401
 from .loop import (train, save_pytree, load_pytree,  # noqa: F401
-                   batch_inference)
+                   batch_inference, save_checkpoint_orbax,
+                   load_checkpoint_orbax)
 from .losses import (masked_mse, masked_distance,  # noqa: F401
                      velocity_horizon_loss, make_fk_pose_loss,
                      masked_bce_pos_weight)

@@ -59,6 +59,23 @@ def load_pytree(path):
     return jax.tree.map(jnp.asarray, tree)
 
 
+def save_checkpoint_orbax(tree, path):
+    r"""Orbax-backed checkpoint (atomic, sharding-aware) — optional
+    alternative to the pickle format for multi-host runs."""
+    import orbax.checkpoint as ocp
+    ckpt = ocp.StandardCheckpointer()
+    ckpt.save(os.path.abspath(path), jax.tree.map(np.asarray, tree),
+              force=True)
+    ckpt.wait_until_finished()
+
+
+def load_checkpoint_orbax(path, like=None):
+    import orbax.checkpoint as ocp
+    ckpt = ocp.StandardCheckpointer()
+    restored = ckpt.restore(os.path.abspath(path))
+    return jax.tree.map(jnp.asarray, restored)
+
+
 def _log_jsonl(path, record):
     if path is None:
         return
