@@ -25,7 +25,8 @@ import optax
 
 from .data import SeqDataset, padded_batches
 
-__all__ = ["train", "save_pytree", "load_pytree", "batch_inference"]
+__all__ = ["train", "save_pytree", "load_pytree", "batch_inference",
+           "save_checkpoint_orbax", "load_checkpoint_orbax"]
 
 
 def batch_inference(params, forward_fn, dataset, batch_size: int = 64):
