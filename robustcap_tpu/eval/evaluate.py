@@ -84,17 +84,17 @@ def cal_mpjpe(pose, gt_pose, cal_pampjpe: bool = False,
     return out if cal_pampjpe else out[:2]
 
 
-def _maybe_smplify(results, seqs, run_smplify: bool):
+def _maybe_smplify(results, seqs, run_smplify: bool, model=None):
+    r"""Batched LBFGS refinement over whole groups of sequences: same
+    hyperparameters as the reference's per-sequence call (lr=0.001, lbfgs,
+    1 step, gate at 20000 — evaluate.py:89-90), but same-length sequences
+    refine together in one vmapped compiled program."""
     if not run_smplify:
         return results
-    from ..smplify.runner import smplify_runner
-    refined = []
-    for (pose, tran), s in zip(results, seqs):
-        pose_r, tran_r, _ = smplify_runner(
-            pose, tran, s.j2dc_px, s.oric, batch_size=pose.shape[0],
-            lr=0.001, use_lbfgs=True, opt_steps=1, cam_k=s.cam_K)
-        refined.append((np.asarray(pose_r), np.asarray(tran_r)))
-    return refined
+    from ..smplify.runner import refine_sequences_batched
+    refined = refine_sequences_batched(results, seqs, lr=0.001, opt_steps=1,
+                                       model=model)
+    return [(np.asarray(p), np.asarray(t)) for p, t in refined]
 
 
 def evaluate_sequences(seqs, params=None, model=None, cfg=SigMPConfig(),
@@ -120,7 +120,7 @@ def evaluate_sequences(seqs, params=None, model=None, cfg=SigMPConfig(),
         results = run_sequences(params, model, cfg, seqs, first_tran_mode,
                                 mesh=mesh, pad_to_multiple=pad_to_multiple,
                                 max_bucket=max_bucket)
-        results = _maybe_smplify(results, seqs, run_smplify)
+        results = _maybe_smplify(results, seqs, run_smplify, model=model)
         pose_p = [r[0] for r in results]
         tran_p = [r[1] for r in results]
         if cache_path is not None:

@@ -164,7 +164,7 @@ def _pad_to(x, L):
 
 def make_smplify_fit(model: ParametricModel, prior: MaxMixturePrior,
                      use_head: bool = False, max_iter: int = 20,
-                     lr: float = 1.0, num_iters: int = 1):
+                     lr: float = 1.0, num_iters: int = 1, shape=None):
     r"""Pure, vmappable single-sequence refinement.
 
     ``fit(pose0_R [T,24,3,3], tran0 [T,3], kp_px [T,33,3], imu_ori
@@ -175,10 +175,12 @@ def make_smplify_fit(model: ParametricModel, prior: MaxMixturePrior,
     program (the while_loop freezes converged lanes).
     """
     ign = jnp.asarray(IGN_MP_JOINTS_HEAD if use_head else IGN_MP_JOINTS)
+    shape = None if shape is None else jnp.asarray(shape)
 
     def landmarks(pose_R, tran):
         gp, joints, verts = model.forward_kinematics(
-            pose_R, tran=tran, calc_mesh=True, vertex_ids=_MP_MASK)
+            pose_R, shape=shape, tran=tran, calc_mesh=True,
+            vertex_ids=_MP_MASK)
         return gp, _sync_mp3d_batch(verts, joints)
 
     def reproj_loss(body_pose, model_joints, gp, kp_px, conf, target_3d,
@@ -221,6 +223,36 @@ def make_smplify_fit(model: ParametricModel, prior: MaxMixturePrior,
     return fit
 
 
+_DEFAULT_PRIOR = {}
+
+
+def _default_prior(folder: str = "data/dataset_work") -> MaxMixturePrior:
+    r"""Process-wide default GMM prior. Must be a singleton: the jitted-fit
+    cache below keys on ``id(prior)``, so a fresh prior per call would
+    recompile the whole LBFGS program on every eval invocation."""
+    if folder not in _DEFAULT_PRIOR:
+        _DEFAULT_PRIOR[folder] = MaxMixturePrior(folder, num_gaussians=8)
+    return _DEFAULT_PRIOR[folder]
+
+
+# jitted fit programs, keyed by (model, prior, hyperparams, batched?). The
+# whole refinement — LBFGS iterations, strong-Wolfe line search, landmark
+# FK — is ONE compiled XLA program; sequence lengths are padded to buckets
+# upstream so the cache stays small.
+_FIT_CACHE = {}
+
+
+def _jitted_fit(model, prior, use_head, max_iter, lr, num_iters,
+                batched: bool):
+    key = (id(model), id(prior), use_head, max_iter, float(lr), num_iters,
+           batched)
+    if key not in _FIT_CACHE:
+        fit = make_smplify_fit(model, prior, use_head=use_head,
+                               max_iter=max_iter, lr=lr, num_iters=num_iters)
+        _FIT_CACHE[key] = jax.jit(jax.vmap(fit) if batched else fit)
+    return _FIT_CACHE[key]
+
+
 def refine_sequences_batched(results, seqs, lr: float = 0.001,
                              opt_steps: int = 1, use_head: bool = False,
                              model=None, prior=None,
@@ -237,10 +269,9 @@ def refine_sequences_batched(results, seqs, lr: float = 0.001,
     output, run.py:27-29). Returns [(pose, tran)] in input order.
     """
     model = model or default_body_model()
-    prior = prior or MaxMixturePrior("data/dataset_work", num_gaussians=8)
-    fit = make_smplify_fit(model, prior, use_head=use_head, lr=lr,
-                           num_iters=opt_steps)
-    vfit = jax.jit(jax.vmap(fit))
+    prior = prior or _default_prior()
+    vfit = _jitted_fit(model, prior, use_head, 20, lr, opt_steps,
+                       batched=True)
 
     # group indices by padded length
     lengths = {}
@@ -287,8 +318,14 @@ def smplify_runner(pred_pose, pred_tran, j2dc, imu_ori, batch_size, cam_k,
 
     Sequences are padded (repeating the final frame, with loss mask 0) to a
     multiple of ``pad_to_multiple`` so XLA compiles one program per bucket
-    length rather than per sequence.
+    length rather than per sequence. The whole refinement — initial-loss
+    evaluation, LBFGS while-loop, final loss — is ONE jitted program (cached
+    across calls); the loss_threshold gate (run.py:28) is applied to its
+    outputs, so a gated-out sequence costs one device launch, never a
+    recompile.
     """
+    model = model or default_body_model()
+    prior = prior or _default_prior()
     T = int(np.asarray(pred_pose).shape[0])
     L = -(-T // pad_to_multiple) * pad_to_multiple
     pose = _pad_to(np.asarray(pred_pose, np.float32).reshape(T, 24, 3, 3), L)
@@ -297,18 +334,32 @@ def smplify_runner(pred_pose, pred_tran, j2dc, imu_ori, batch_size, cam_k,
     ori = _pad_to(np.asarray(imu_ori, np.float32).reshape(T, 6, 3, 3), L)
     mask = jnp.asarray(np.arange(L) < T, jnp.float32)
 
-    smplify = TemporalSMPLify(cam_k=cam_k, imu_ori=ori, step_size=lr,
-                              batch_size=L, num_iters=opt_steps,
-                              use_lbfgs=use_lbfgs, shape=shape,
-                              use_head=use_head, model=model, prior=prior)
-    kp = jnp.asarray(kp)
-    opt_joint_loss = smplify.get_fitting_loss(jnp.asarray(pose),
-                                              jnp.asarray(tran), kp,
-                                              mask).mean(axis=-1)
-    if float(opt_joint_loss[0]) > loss_threshold:
+    if shape is not None or not use_lbfgs:
+        # uncommon paths (fixed betas / plain-GD request) keep the stateful
+        # object; the reference only ever calls the lbfgs default
+        # (evaluate.py:89-90)
+        smplify = TemporalSMPLify(cam_k=cam_k, imu_ori=ori, step_size=lr,
+                                  batch_size=L, num_iters=opt_steps,
+                                  use_lbfgs=use_lbfgs, shape=shape,
+                                  use_head=use_head, model=model, prior=prior)
+        kp_j = jnp.asarray(kp)
+        opt_joint_loss = smplify.get_fitting_loss(
+            jnp.asarray(pose), jnp.asarray(tran), kp_j, mask).mean(axis=-1)
+        if float(opt_joint_loss[0]) > loss_threshold:
+            return (np.asarray(pred_pose).reshape(-1, 24, 3, 3),
+                    np.asarray(pred_tran).reshape(-1, 3), None)
+        pose_R, tran_new, new_loss = smplify(jnp.asarray(pose),
+                                             jnp.asarray(tran), kp_j, mask)
+        update = np.asarray(new_loss.mean(axis=-1) < opt_joint_loss)[:T]
+        return (np.asarray(pose_R)[:T], np.asarray(tran_new)[:T], update)
+
+    fit = _jitted_fit(model, prior, use_head, 20, lr, opt_steps,
+                      batched=False)
+    pose_R, tran_new, before, after = fit(
+        jnp.asarray(pose), jnp.asarray(tran), jnp.asarray(kp),
+        jnp.asarray(ori), jnp.asarray(np.asarray(cam_k, np.float32)), mask)
+    if float(before[0]) > loss_threshold:   # gate (run.py:28)
         return (np.asarray(pred_pose).reshape(-1, 24, 3, 3),
                 np.asarray(pred_tran).reshape(-1, 3), None)
-    pose_R, tran_new, new_loss = smplify(jnp.asarray(pose),
-                                         jnp.asarray(tran), kp, mask)
-    update = np.asarray(new_loss.mean(axis=-1) < opt_joint_loss)[:T]
+    update = np.asarray(after < before)[:T]
     return (np.asarray(pose_R)[:T], np.asarray(tran_new)[:T], update)
