@@ -69,6 +69,32 @@ def cmd_imu_bridge(args):
     run_imu_bridge()
 
 
+def cmd_preprocess(args):
+    from robustcap_tpu.preprocess import corpus
+    if args.dataset == "aist":
+        counts = corpus.preprocess_aist(args.raw, args.out,
+                                        kinds=args.kinds.split(","))
+        print(json.dumps(counts))
+    elif args.dataset == "aist_pre":
+        flagged = corpus.write_not_aligned(args.raw, out_path=args.out or None)
+        print(json.dumps({"not_aligned": flagged}))
+    elif args.dataset in ("tc_pre", "totalcapture_pre"):
+        print(corpus.preprocess_totalcapture_pre(args.raw))
+    elif args.dataset in ("tc", "totalcapture"):
+        n = corpus.preprocess_totalcapture(args.raw, args.out)
+        print(json.dumps({"sequences": n}))
+    elif args.dataset in ("pw3d", "pw3d_occ"):
+        n = corpus.preprocess_3dpw(args.raw, args.out,
+                                   occ=args.dataset.endswith("occ"))
+        print(json.dumps({"person_sequences": n}))
+    elif args.dataset == "amass":
+        from robustcap_tpu.preprocess import preprocess_amass
+        from robustcap_tpu.smpl import default_body_model
+        preprocess_amass(default_body_model(), args.raw, args.out)
+    else:
+        raise SystemExit(f"unknown dataset {args.dataset}")
+
+
 def cmd_train(args):
     from robustcap_tpu.eval.datasets import load_torch_file
     from robustcap_tpu.train import trainers
@@ -113,6 +139,17 @@ def main(argv=None):
 
     pb = sub.add_parser("imu-bridge", help="BLE IMU -> UDP bridge")
     pb.set_defaults(fn=cmd_imu_bridge)
+
+    pp = sub.add_parser("preprocess", help="raw corpus -> work .pt dicts")
+    pp.add_argument("--dataset", required=True,
+                    choices=["aist", "aist_pre", "tc_pre", "totalcapture_pre",
+                             "tc", "totalcapture", "pw3d", "pw3d_occ",
+                             "amass"])
+    pp.add_argument("--raw", required=True, help="raw corpus root")
+    pp.add_argument("--out", default="", help="output work dir / file")
+    pp.add_argument("--kinds", default="test",
+                    help="comma-separated splits (aist)")
+    pp.set_defaults(fn=cmd_preprocess)
 
     pt = sub.add_parser("train", help="train fusion RNNs")
     pt.add_argument("--rnn", default="all",

@@ -89,10 +89,14 @@ def _camera_frame_inputs(Tcw: np.ndarray, imu_ori: np.ndarray,
 
 
 def _scaled_px(kp: np.ndarray) -> np.ndarray:
-    r"""Stored fraction-of-frame keypoints -> pixels (evaluate.py:44-46)."""
-    out = kp.copy().astype(np.float32)
-    out[..., 0] *= IMG_W
-    out[..., 1] *= IMG_H
+    r"""Stored fraction-of-frame keypoints -> pixels (evaluate.py:44-46).
+
+    Raw MediaPipe caches carry 4 columns (x, y, z, visibility); the eval
+    consumes x, y and the LAST column as confidence (evaluate.py:43-46), so
+    both 3- and 4-column dicts are accepted."""
+    kp = np.asarray(kp, np.float32)
+    out = np.stack([kp[..., 0] * IMG_W, kp[..., 1] * IMG_H, kp[..., -1]],
+                   axis=-1)
     return out
 
 

@@ -17,3 +17,8 @@ from .detectors import (detect_sequence, detect_sequence_cropped,  # noqa: F401
                         detect_sequence_occluded)
 from .aist import (aist_camera_params, aist_sequence_to_work,  # noqa: F401
                    compute_not_aligned, repair_frame_count)
+from .corpus import (splice_repair, fill_missing_frames,  # noqa: F401
+                     preprocess_aist, write_not_aligned,
+                     preprocess_totalcapture_pre, preprocess_totalcapture,
+                     preprocess_3dpw, parse_vicon_positions,
+                     parse_calibration)
