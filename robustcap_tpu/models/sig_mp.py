@@ -217,6 +217,7 @@ def make_step(body_model: ParametricModel, cfg: SigMPConfig,
     # MediaPipe vertices and the zero-pose joints
     w_sub = body_model._skinning_weights[jnp.asarray(_MP_MASK)]
     v0_sub = body_model._zero_pose_vertex[jnp.asarray(_MP_MASK)]
+    posedirs_sub = body_model._posedirs[jnp.asarray(_MP_MASK)]  # [33, 3, 207]
     j0 = body_model._zero_pose_joint
     conf_lo, conf_hi = cfg.conf_range
     inv_range = 1.0 / (conf_hi - conf_lo)
@@ -364,23 +365,25 @@ def make_step(body_model: ParametricModel, cfg: SigMPConfig,
         joint = jnp.zeros((24, 3))
         j_lm = jnp.zeros((33, 3))
         if cfg.use_reproj_opt or cfg.use_vision_updater:
+            # FK(IK(poseg) with root := Rcr) has global rotations
+            # (Rcr poseg_0^T) poseg — a single batched 3x3 product — and
+            # its joint positions are the already-computed light-FK
+            # positions rotated the same way: no second tree walk. Pose
+            # blendshapes only displace the REST vertices (model.py:237), so
+            # the same closed form holds with v0 shifted by posedirs·r —
+            # where r comes from the local pose (identical to the root-fixed
+            # pose off-root, since only pose[0] was overwritten).
+            Rfix = mat3_mul(Rcr, poseg[0].T)
+            glb = mat3_mul(Rfix[None], poseg)
+            joint = (p_all[:, None, :] * Rfix[None]).sum(-1) + tran
+            t_j = joint - (glb * j0[:, None, :]).sum(-1)
+            R_v = jnp.einsum("vj,jrc->vrc", w_sub, glb)
+            v0_eff = v0_sub
             if body_model.use_pose_blendshape:
-                _, joint_b, vert_b = body_model.forward_kinematics(
-                    pose[None], tran=tran[None], calc_mesh=True,
-                    vertex_ids=_MP_MASK)
-                joint = joint_b[0]
-                verts = vert_b[0]
-            else:
-                # FK(IK(poseg) with root := Rcr) has global rotations
-                # (Rcr poseg_0^T) poseg — a single batched 3x3 product — and
-                # its joint positions are the already-computed light-FK
-                # positions rotated the same way: no second tree walk.
-                Rfix = mat3_mul(Rcr, poseg[0].T)
-                glb = mat3_mul(Rfix[None], poseg)
-                joint = (p_all[:, None, :] * Rfix[None]).sum(-1) + tran
-                t_j = joint - (glb * j0[:, None, :]).sum(-1)
-                R_v = jnp.einsum("vj,jrc->vrc", w_sub, glb)
-                verts = (R_v * v0_sub[:, None, :]).sum(-1) + w_sub @ t_j
+                eye = jnp.eye(3, dtype=pose.dtype)
+                r = (pose[1:] - eye).reshape(-1)        # [207]
+                v0_eff = v0_sub + jnp.einsum("vcp,p->vc", posedirs_sub, r)
+            verts = (R_v * v0_eff[:, None, :]).sum(-1) + w_sub @ t_j
             j_computed = sync_mp3d(verts, joint)
             if cfg.live:
                 fk_now = vision_count == 0

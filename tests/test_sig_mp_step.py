@@ -300,6 +300,25 @@ class TestScanVsOracle:
                                        use_imu_updater=False), conf,
                     first_tran=np.array([0, 0, 3.0]))
 
+    def test_pose_blendshape_fast_path(self, setup):
+        r"""use_pose_blendshape=True: the scan step's closed-form landmark
+        LBS (posedirs-shifted rest vertices, no second tree walk) must match
+        the oracle, whose landmark synthesis goes through the generic
+        ``forward_kinematics`` blendshape path (model.py:237). Posedirs are
+        amplified 100x so a dropped/incorrect blendshape term would exceed
+        the tolerance (landmark shifts ~0.8 m) instead of hiding below it."""
+        import dataclasses
+        _, params = setup
+        data = synthetic_smpl_data()
+        data = dataclasses.replace(data, posedirs=data.posedirs * 100.0)
+        model_bs = ParametricModel(data=data, use_pose_blendshape=True)
+        conf = np.array([0.9, 0.3, 0.3, 0.95, 0.75, 0.2, 0.2, 0.9],
+                        np.float32)
+        run_compare((model_bs, params), SigMPConfig(), conf,
+                    first_tran=np.array([0, 0, 3.0]))
+        run_compare((model_bs, params), SigMPConfig(use_reproj_opt=True),
+                    conf, first_tran=np.array([0, 0, 5.0]), atol=5e-4)
+
 
 class TestStreamingWrapper:
     def test_streaming_equals_scan(self, setup):
