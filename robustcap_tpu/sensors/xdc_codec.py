@@ -1,0 +1,595 @@
+r"""Xsens DOT BLE characteristic codecs and protocol driver (hardware-free).
+
+Rebuild of the reference's ``articulate/utils/xsens/xdc.py`` (1765 LoC of
+reader classes) as declarative struct codecs + a transport-agnostic client:
+
+* every characteristic the reference parses — device info, device control
+  (read/modify/write), device report events, measurement control,
+  orientation-reset control/status, battery — with byte-exact layouts,
+* ALL documented payload modes (the reference parses 13 of them,
+  xdc.py:524-918): extended/complete quaternion & euler, orientation euler/
+  quaternion, free acceleration, delta/rate quantities (with/without mag),
+  custom modes 1-3 — via one format table instead of a class per mode,
+* the high-level protocol sequences (start/stop streaming with the
+  re-check loop, heading reset/revert with the streaming precondition and
+  ack read, output-rate and filter-profile writes through
+  read-modify-write of device control; xdc.py:1311-1456) implemented
+  against an abstract transport so they run identically over bleak radio
+  or the in-memory :class:`FakeDotTransport` used in tests.
+
+Everything in this module is synchronous-pure except :class:`DotClient`,
+whose methods are ``async`` and take a transport with
+``read(uuid) / write(uuid, data) / start_notify(uuid, cb)``.
+"""
+
+from __future__ import annotations
+
+import struct
+from dataclasses import dataclass
+from typing import Callable, Dict, List, Optional, Tuple
+
+import numpy as np
+
+__all__ = [
+    "UUIDS", "PayloadMode", "PAYLOAD_FORMATS", "payload_size",
+    "parse_payload", "encode_payload",
+    "DeviceInfo", "parse_device_info",
+    "DeviceControl", "parse_device_control", "encode_device_control",
+    "DeviceReport", "parse_device_report", "encode_device_report",
+    "MeasurementControl", "parse_measurement_control",
+    "encode_measurement_control",
+    "parse_orientation_reset_control", "encode_orientation_reset_control",
+    "parse_orientation_reset_status", "encode_orientation_reset_status",
+    "Battery", "parse_battery", "encode_battery",
+    "DotClient", "FakeDotTransport",
+]
+
+
+class UUIDS:
+    r"""BLE characteristic UUIDs (public Xsens DOT BLE spec)."""
+    device_info = "15171001-4947-11E9-8646-D663BD873D93"
+    device_control = "15171002-4947-11E9-8646-D663BD873D93"
+    device_report = "15171004-4947-11E9-8646-D663BD873D93"
+    measurement_control = "15172001-4947-11E9-8646-D663BD873D93"
+    long_payload = "15172002-4947-11E9-8646-D663BD873D93"
+    medium_payload = "15172003-4947-11E9-8646-D663BD873D93"
+    short_payload = "15172004-4947-11E9-8646-D663BD873D93"
+    orientation_reset_control = "15172006-4947-11E9-8646-D663BD873D93"
+    orientation_reset_status = "15172007-4947-11E9-8646-D663BD873D93"
+    battery = "15173001-4947-11E9-8646-D663BD873D93"
+
+
+class PayloadMode:
+    r"""Measurement payload modes (BLE spec sec. 3.1; the ids the
+    measurement-control characteristic accepts, 0 < mode <= 24)."""
+    EXTENDED_QUATERNION = 2
+    COMPLETE_QUATERNION = 3
+    ORIENTATION_EULER = 4
+    ORIENTATION_QUATERNION = 5
+    FREE_ACCELERATION = 6
+    EXTENDED_EULER = 7
+    COMPLETE_EULER = 16
+    DELTA_QUANTITIES_WITH_MAG = 18
+    DELTA_QUANTITIES = 19
+    RATE_QUANTITIES_WITH_MAG = 20
+    RATE_QUANTITIES = 21
+    CUSTOM_MODE_1 = 22
+    CUSTOM_MODE_2 = 23
+    CUSTOM_MODE_3 = 24
+
+
+# field name -> (struct fragment, post-processing)
+_BLOCKS = {
+    "timestamp": "I",       # microseconds, u32
+    "quaternion": "4f",     # w x y z
+    "euler": "3f",          # degrees
+    "free_acceleration": "3f",
+    "dq": "4f",
+    "dv": "3f",
+    "acceleration": "3f",
+    "angular_velocity": "3f",
+    "magnetic_field": "3h",  # raw 2-byte fixed point per axis
+    "status": "H",
+    "clip_count_acc": "B",
+    "clip_count_gyr": "B",
+}
+
+# payload mode -> ordered field names (xdc.py:545-841 class per mode; here
+# one declarative table drives both parse and encode)
+PAYLOAD_FORMATS: Dict[int, Tuple[str, ...]] = {
+    PayloadMode.EXTENDED_QUATERNION: (
+        "timestamp", "quaternion", "free_acceleration", "status",
+        "clip_count_acc", "clip_count_gyr"),
+    PayloadMode.COMPLETE_QUATERNION: (
+        "timestamp", "quaternion", "free_acceleration"),
+    PayloadMode.ORIENTATION_EULER: ("timestamp", "euler"),
+    PayloadMode.ORIENTATION_QUATERNION: ("timestamp", "quaternion"),
+    PayloadMode.FREE_ACCELERATION: ("timestamp", "free_acceleration"),
+    PayloadMode.EXTENDED_EULER: (
+        "timestamp", "euler", "free_acceleration", "status",
+        "clip_count_acc", "clip_count_gyr"),
+    PayloadMode.COMPLETE_EULER: ("timestamp", "euler", "free_acceleration"),
+    PayloadMode.DELTA_QUANTITIES_WITH_MAG: (
+        "timestamp", "dq", "dv", "magnetic_field"),
+    PayloadMode.DELTA_QUANTITIES: ("timestamp", "dq", "dv"),
+    PayloadMode.RATE_QUANTITIES_WITH_MAG: (
+        "timestamp", "acceleration", "angular_velocity", "magnetic_field"),
+    PayloadMode.RATE_QUANTITIES: (
+        "timestamp", "acceleration", "angular_velocity"),
+    PayloadMode.CUSTOM_MODE_1: (
+        "timestamp", "euler", "free_acceleration", "angular_velocity"),
+    PayloadMode.CUSTOM_MODE_2: (
+        "timestamp", "euler", "free_acceleration", "magnetic_field"),
+    PayloadMode.CUSTOM_MODE_3: (
+        "timestamp", "quaternion", "angular_velocity"),
+}
+
+
+def _fmt(mode: int) -> str:
+    return "<" + "".join(_BLOCKS[f] for f in PAYLOAD_FORMATS[mode])
+
+
+def payload_size(mode: int) -> int:
+    r"""Wire size in bytes of one measurement notification for ``mode``."""
+    return struct.calcsize(_fmt(mode))
+
+
+def parse_payload(mode: int, data: bytes) -> Dict:
+    r"""Decode one measurement notification. Returns a dict with
+    ``timestamp`` in SECONDS plus numpy arrays for each vector block and
+    ints for scalar blocks. Raises on unknown mode / short payload."""
+    if mode not in PAYLOAD_FORMATS:
+        raise ValueError(f"unsupported payload mode {mode}")
+    fmt = _fmt(mode)
+    if len(data) < struct.calcsize(fmt):
+        raise ValueError(
+            f"short payload for mode {mode}: {len(data)} < "
+            f"{struct.calcsize(fmt)} bytes")
+    vals = struct.unpack_from(fmt, data)
+    out: Dict = {}
+    i = 0
+    for name in PAYLOAD_FORMATS[mode]:
+        n = struct.calcsize(_BLOCKS[name])
+        count = len(struct.unpack("<" + _BLOCKS[name], b"\0" * n))
+        chunk = vals[i:i + count]
+        i += count
+        if name == "timestamp":
+            out[name] = chunk[0] * 1e-6
+        elif count == 1:
+            out[name] = int(chunk[0])
+        elif name == "magnetic_field":
+            out[name] = np.asarray(chunk, np.int16)
+        else:
+            out[name] = np.asarray(chunk, np.float32)
+    return out
+
+
+def encode_payload(mode: int, **fields) -> bytes:
+    r"""Inverse of :func:`parse_payload` (emulators/tests). ``timestamp``
+    is in seconds; missing vector fields default to zeros."""
+    if mode not in PAYLOAD_FORMATS:
+        raise ValueError(f"unsupported payload mode {mode}")
+    vals: List = []
+    for name in PAYLOAD_FORMATS[mode]:
+        n = struct.calcsize(_BLOCKS[name])
+        count = len(struct.unpack("<" + _BLOCKS[name], b"\0" * n))
+        v = fields.get(name)
+        if name == "timestamp":
+            vals.append(int((0.0 if v is None else v) * 1e6) & 0xFFFFFFFF)
+        elif count == 1:
+            vals.append(0 if v is None else int(v))
+        else:
+            arr = (np.zeros(count) if v is None else np.asarray(v)).reshape(-1)
+            if name == "magnetic_field":
+                vals.extend(int(x) for x in arr[:count])
+            else:
+                vals.extend(float(x) for x in arr[:count])
+    return struct.pack(_fmt(mode), *vals)
+
+
+# ---------------------------------------------------------------------------
+# Configuration service
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class DeviceInfo:
+    r"""Device Info Characteristic (BLE spec sec. 2.1; xdc.py:94-127)."""
+    address: bytes = b"\0" * 6
+    version_major: int = 0
+    version_minor: int = 0
+    version_revision: int = 0
+    build_year: int = 2020
+    build_month: int = 1
+    build_date: int = 1
+    build_hour: int = 0
+    build_minute: int = 0
+    build_second: int = 0
+    softdevice_version: int = 0
+    serial_number: int = 0
+    short_product_code: bytes = b"XS-T01"
+
+
+_DEVICE_INFO_FMT = "<6s3BH5BIQ6s"
+
+
+def parse_device_info(data: bytes) -> DeviceInfo:
+    vals = struct.unpack_from(_DEVICE_INFO_FMT, data)
+    return DeviceInfo(*vals)
+
+
+def encode_device_info(info: DeviceInfo) -> bytes:
+    return struct.pack(
+        _DEVICE_INFO_FMT, info.address, info.version_major,
+        info.version_minor, info.version_revision, info.build_year,
+        info.build_month, info.build_date, info.build_hour,
+        info.build_minute, info.build_second, info.softdevice_version,
+        info.serial_number, info.short_product_code)
+
+
+@dataclass
+class DeviceControl:
+    r"""Device Control Characteristic (BLE spec sec. 2.2; xdc.py:133-187).
+    Written back with ``visit_index`` selecting the field group to apply
+    (0x02 power options, 0x10 output rate, 0x20 filter profile)."""
+    visit_index: int = 0
+    identifying: int = 0
+    power_options: int = 0
+    power_saving_timeout_x_mins: int = 0
+    power_saving_timeout_x_secs: int = 0
+    power_saving_timeout_y_mins: int = 0
+    power_saving_timeout_y_secs: int = 0
+    device_tag_len: int = 9
+    device_tag: bytes = b"Xsens DOT".ljust(16, b"\0")
+    output_rate: int = 60
+    filter_profile_index: int = 0
+    reserved: bytes = b"\0" * 5
+
+
+_DEVICE_CONTROL_FMT = "<8B16sHB5s"
+VALID_OUTPUT_RATES = (1, 4, 10, 12, 15, 20, 30, 60, 120)
+
+
+def parse_device_control(data: bytes) -> DeviceControl:
+    vals = struct.unpack_from(_DEVICE_CONTROL_FMT, data)
+    return DeviceControl(*vals)
+
+
+def encode_device_control(dc: DeviceControl) -> bytes:
+    return struct.pack(
+        _DEVICE_CONTROL_FMT, dc.visit_index, dc.identifying,
+        dc.power_options, dc.power_saving_timeout_x_mins,
+        dc.power_saving_timeout_x_secs, dc.power_saving_timeout_y_mins,
+        dc.power_saving_timeout_y_secs, dc.device_tag_len,
+        dc.device_tag.ljust(16, b"\0")[:16], dc.output_rate,
+        dc.filter_profile_index, dc.reserved.ljust(5, b"\0")[:5])
+
+
+@dataclass
+class DeviceReport:
+    r"""Device Report notification (BLE spec sec. 2.3; xdc.py:190-239):
+    typeid 1 = power off, 4 = power saving, 5 = button callback (with a
+    4- or 8-byte timestamp)."""
+    typeid: int
+    length: int = 0
+    timestamp: Optional[int] = None
+    unused: bytes = b""
+
+
+DEVICE_REPORT_SIZE = 36
+
+
+def parse_device_report(data: bytes) -> DeviceReport:
+    if len(data) < DEVICE_REPORT_SIZE:
+        raise ValueError("short device report")
+    typeid = data[0]
+    pos = 1
+    rv = DeviceReport(typeid=typeid)
+    if typeid == 5:
+        rv.length = data[pos]
+        pos += 1
+        if rv.length == 4:
+            rv.timestamp = struct.unpack_from("<I", data, pos)[0]
+            pos += 4
+        elif rv.length == 8:
+            rv.timestamp = struct.unpack_from("<Q", data, pos)[0]
+            pos += 8
+    rv.unused = bytes(data[pos:DEVICE_REPORT_SIZE])
+    return rv
+
+
+def encode_device_report(report: DeviceReport) -> bytes:
+    out = bytearray([report.typeid])
+    if report.typeid == 5:
+        ts = report.timestamp or 0
+        length = report.length or (8 if ts > 0xFFFFFFFF else 4)
+        out.append(length)
+        out += struct.pack("<Q" if length == 8 else "<I", ts)
+    return bytes(out.ljust(DEVICE_REPORT_SIZE, b"\0"))
+
+
+# ---------------------------------------------------------------------------
+# Measurement service
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class MeasurementControl:
+    r"""Measurement Control Characteristic (BLE spec sec. 3.1;
+    xdc.py:242-282): Type / action (1 = start, 0 = stop) / payload mode."""
+    Type: int = 1
+    action: int = 0
+    payload_mode: int = PayloadMode.COMPLETE_QUATERNION
+
+
+def parse_measurement_control(data: bytes) -> MeasurementControl:
+    t, a, m = struct.unpack_from("<3B", data)
+    return MeasurementControl(t, a, m)
+
+
+def encode_measurement_control(mc: MeasurementControl) -> bytes:
+    assert mc.Type < 0xFF and mc.action <= 1 and mc.payload_mode <= 24
+    return struct.pack("<3B", mc.Type, mc.action, mc.payload_mode)
+
+
+HEADING_RESET = 1
+HEADING_REVERT = 7
+
+
+def parse_orientation_reset_control(data: bytes) -> int:
+    return struct.unpack_from("<H", data)[0]
+
+
+def encode_orientation_reset_control(reset_type: int) -> bytes:
+    return struct.pack("<H", reset_type)
+
+
+def parse_orientation_reset_status(data: bytes) -> int:
+    return data[0]
+
+
+def encode_orientation_reset_status(result: int) -> bytes:
+    return bytes([result])
+
+
+@dataclass
+class Battery:
+    r"""Battery Characteristic (BLE spec sec. 4.1; xdc.py:979-1023)."""
+    battery_level: int = 100
+    charging_status: int = 0
+
+
+def parse_battery(data: bytes) -> Battery:
+    return Battery(data[0], data[1])
+
+
+def encode_battery(b: Battery) -> bytes:
+    return bytes([b.battery_level, b.charging_status])
+
+
+# ---------------------------------------------------------------------------
+# Protocol driver (transport-agnostic)
+# ---------------------------------------------------------------------------
+
+
+class DotClient:
+    r"""High-level DOT protocol over an abstract async transport.
+
+    ``transport`` must provide ``await read(uuid) -> bytes``,
+    ``await write(uuid, data)``, ``await start_notify(uuid, cb)``. The
+    protocol sequences mirror xdc.py's Dot methods (:1311-1456): output
+    rate / filter profile via read-modify-write with the proper
+    visit_index, streaming start with the already-streaming re-check,
+    heading reset with the streaming precondition + ack verification.
+    """
+
+    def __init__(self, transport):
+        self.t = transport
+
+    async def device_info(self) -> DeviceInfo:
+        return parse_device_info(await self.t.read(UUIDS.device_info))
+
+    async def device_control(self) -> DeviceControl:
+        return parse_device_control(await self.t.read(UUIDS.device_control))
+
+    async def battery(self) -> Battery:
+        return parse_battery(await self.t.read(UUIDS.battery))
+
+    async def set_output_rate(self, rate: int):
+        if rate not in VALID_OUTPUT_RATES:
+            raise ValueError(f"invalid output rate {rate}; "
+                             f"allowed: {VALID_OUTPUT_RATES}")
+        dc = await self.device_control()
+        dc.visit_index = 0x10
+        dc.output_rate = rate
+        await self.t.write(UUIDS.device_control, encode_device_control(dc))
+
+    async def set_filter_profile_index(self, idx: int):
+        if idx not in (0, 1):
+            raise ValueError("filter profile index must be 0 or 1")
+        dc = await self.device_control()
+        dc.visit_index = 0x20
+        dc.filter_profile_index = idx
+        await self.t.write(UUIDS.device_control, encode_device_control(dc))
+
+    async def is_streaming(self) -> bool:
+        mc = parse_measurement_control(
+            await self.t.read(UUIDS.measurement_control))
+        return mc.action == 1
+
+    async def start_streaming(self,
+                              payload_mode=PayloadMode.COMPLETE_QUATERNION):
+        while await self.is_streaming():
+            await self.stop_streaming()
+        mc = parse_measurement_control(
+            await self.t.read(UUIDS.measurement_control))
+        mc.action = 1
+        mc.payload_mode = payload_mode
+        await self.t.write(UUIDS.measurement_control,
+                           encode_measurement_control(mc))
+
+    async def stop_streaming(self):
+        mc = parse_measurement_control(
+            await self.t.read(UUIDS.measurement_control))
+        mc.action = 0
+        await self.t.write(UUIDS.measurement_control,
+                           encode_measurement_control(mc))
+
+    async def is_heading_reset(self) -> bool:
+        if not await self.is_streaming():
+            raise RuntimeError("heading state requires streaming")
+        t = parse_orientation_reset_control(
+            await self.t.read(UUIDS.orientation_reset_control))
+        return t == HEADING_RESET
+
+    async def reset_heading(self) -> bool:
+        r"""Reset heading; returns True when the sensor acks the reset
+        (xdc.py:1417-1427). Requires active streaming; reverts first when a
+        previous reset is still in effect."""
+        if not await self.is_streaming():
+            raise RuntimeError("heading reset requires streaming")
+        while await self.is_heading_reset():
+            await self.revert_heading_to_default()
+        await self.t.write(UUIDS.orientation_reset_control,
+                           encode_orientation_reset_control(HEADING_RESET))
+        ack = parse_orientation_reset_status(
+            await self.t.read(UUIDS.orientation_reset_status))
+        return ack == 1
+
+    async def revert_heading_to_default(self):
+        if not await self.is_streaming():
+            raise RuntimeError("heading revert requires streaming")
+        await self.t.write(UUIDS.orientation_reset_control,
+                           encode_orientation_reset_control(HEADING_REVERT))
+
+    async def start_payload_notify(self, cb: Callable):
+        await self.t.start_notify(UUIDS.medium_payload, cb)
+
+    async def start_report_notify(self, cb: Callable):
+        await self.t.start_notify(UUIDS.device_report, cb)
+
+
+class FakeDotTransport:
+    r"""In-memory DOT device emulator (the fake-BLE double).
+
+    Implements the transport protocol plus device behavior: characteristic
+    state, streaming start/stop via measurement-control writes, heading
+    reset acks, and a ``pump(n)`` method that delivers ``n`` synthetic
+    measurement notifications of the currently selected payload mode to the
+    subscribed callback. A signal generator hook customizes the emitted
+    quaternion/acceleration streams."""
+
+    def __init__(self, address: str = "FA:CE:00:00:00:01",
+                 battery_level: int = 88, signal_fn=None):
+        self.address = address
+        try:
+            addr_bytes = bytes(int(x, 16) for x in address.split(":"))[:6]
+        except ValueError:
+            addr_bytes = b"\0" * 6
+        self._state = {
+            UUIDS.device_info: encode_device_info(DeviceInfo(
+                address=addr_bytes.ljust(6, b"\0"))),
+            UUIDS.device_control: encode_device_control(DeviceControl()),
+            UUIDS.measurement_control: encode_measurement_control(
+                MeasurementControl()),
+            UUIDS.orientation_reset_control:
+                encode_orientation_reset_control(0),
+            UUIDS.orientation_reset_status:
+                encode_orientation_reset_status(0),
+            UUIDS.battery: encode_battery(Battery(battery_level)),
+        }
+        self._notify: Dict[str, Callable] = {}
+        self._t = 0.0
+        self._frame = 0
+        self._signal_fn = signal_fn or self._default_signal
+        self.write_log: List[Tuple[str, bytes]] = []
+
+    @staticmethod
+    def _default_signal(frame: int):
+        ang = 0.01 * frame
+        quat = np.asarray([np.cos(ang / 2), np.sin(ang / 2), 0.0, 0.0],
+                          np.float32)
+        acc = np.asarray([0.1 * np.sin(ang), 0.0, 0.2 * np.cos(ang)],
+                         np.float32)
+        return quat, acc
+
+    # transport protocol ----------------------------------------------------
+
+    async def read(self, uuid: str) -> bytes:
+        return self._state[uuid]
+
+    async def write(self, uuid: str, data: bytes):
+        self.write_log.append((uuid, bytes(data)))
+        if uuid == UUIDS.device_control:
+            # apply only the visited field group, like the hardware
+            new = parse_device_control(data)
+            cur = parse_device_control(self._state[uuid])
+            if new.visit_index & 0x02:
+                cur.power_options = new.power_options
+            if new.visit_index & 0x10:
+                if new.output_rate not in VALID_OUTPUT_RATES:
+                    return  # hardware ignores invalid rates
+                cur.output_rate = new.output_rate
+            if new.visit_index & 0x20:
+                cur.filter_profile_index = new.filter_profile_index
+            cur.visit_index = 0
+            self._state[uuid] = encode_device_control(cur)
+        elif uuid == UUIDS.orientation_reset_control:
+            rt = parse_orientation_reset_control(data)
+            mc = parse_measurement_control(
+                self._state[UUIDS.measurement_control])
+            if mc.action != 1:
+                # hardware refuses heading ops while not measuring
+                self._state[UUIDS.orientation_reset_status] = \
+                    encode_orientation_reset_status(0)
+                return
+            if rt == HEADING_RESET:
+                self._state[uuid] = encode_orientation_reset_control(
+                    HEADING_RESET)
+                self._state[UUIDS.orientation_reset_status] = \
+                    encode_orientation_reset_status(1)
+            elif rt == HEADING_REVERT:
+                self._state[uuid] = encode_orientation_reset_control(0)
+        else:
+            self._state[uuid] = bytes(data)
+
+    async def start_notify(self, uuid: str, cb: Callable):
+        self._notify[uuid] = cb
+
+    # emulator controls -----------------------------------------------------
+
+    @property
+    def streaming(self) -> bool:
+        return parse_measurement_control(
+            self._state[UUIDS.measurement_control]).action == 1
+
+    @property
+    def payload_mode(self) -> int:
+        return parse_measurement_control(
+            self._state[UUIDS.measurement_control]).payload_mode
+
+    def pump(self, n: int = 1, dt: float = 1.0 / 60.0):
+        r"""Deliver n measurement notifications (no-op unless streaming and
+        a payload callback is subscribed)."""
+        cb = self._notify.get(UUIDS.medium_payload)
+        if cb is None or not self.streaming:
+            return 0
+        mode = self.payload_mode
+        sent = 0
+        for _ in range(n):
+            quat, acc = self._signal_fn(self._frame)
+            data = encode_payload(
+                mode, timestamp=self._t, quaternion=quat,
+                free_acceleration=acc, euler=np.zeros(3), dq=[1, 0, 0, 0],
+                dv=np.zeros(3), acceleration=acc,
+                angular_velocity=np.zeros(3))
+            cb(None, data)
+            self._t += dt
+            self._frame += 1
+            sent += 1
+        return sent
+
+    def emit_report(self, report: DeviceReport):
+        cb = self._notify.get(UUIDS.device_report)
+        if cb is not None:
+            cb(None, encode_device_report(report))
