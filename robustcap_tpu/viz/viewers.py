@@ -80,12 +80,39 @@ class RotationViewer(_HeadlessMixin):
 
 
 class BulletMotionViewer(_HeadlessMixin):
-    r"""Multi-subject skeletal motion viewer (bullet MotionViewer)."""
+    r"""Multi-subject skeletal motion viewer (reference bullet MotionViewer,
+    view_motion.py:23).
 
-    def __init__(self, n: int = 1):
+    The reference loads a urdf body asset; this builds the skeleton
+    procedurally — one sphere body per joint and one capsule body per bone,
+    created with pybullet's programmatic shape API — so no licensed asset is
+    needed. ``update_all`` runs SMPL FK on the host body model and moves
+    every primitive (sphere at the joint, capsule at the bone midpoint
+    oriented along the bone). Without pybullet the viewer is headless and
+    records history only.
+    """
+
+    JOINT_RADIUS = 0.035
+    BONE_RADIUS = 0.018
+    COLORS = [(0.85, 0.35, 0.3, 1), (0.3, 0.5, 0.85, 1), (0.35, 0.8, 0.4, 1),
+              (0.9, 0.75, 0.2, 1), (0.7, 0.4, 0.85, 1), (0.4, 0.8, 0.8, 1)]
+
+    def __init__(self, n: int = 1, body_model=None, overlap: bool = True):
         super().__init__()
         self.n = n
+        self.overlap = overlap
         self._client = None
+        self._bodies = []          # per subject: (joint_ids, bone_ids)
+        self._model = body_model
+        self.offsets = [np.asarray(
+            [0.0 if overlap else ((n - 1) / 2 - i) * 1.2, 0.0, 0.0],
+            np.float32) for i in range(n)]
+
+    def _body_model(self):
+        if self._model is None:
+            from ..smpl.model import default_body_model
+            self._model = default_body_model()
+        return self._model
 
     def connect(self):
         try:
@@ -93,17 +120,79 @@ class BulletMotionViewer(_HeadlessMixin):
         except ImportError:
             return self
         self._client = p.connect(p.GUI)
+        p.configureDebugVisualizer(flag=p.COV_ENABLE_Y_AXIS_UP, enable=1)
+        model = self._body_model()
+        parent = model.parent
+        bone = np.asarray(model._bone_vector)     # [J, 3] rest bone vectors
+        for s in range(self.n):
+            color = self.COLORS[s % len(self.COLORS)]
+            joints = []
+            for _ in range(model.num_joints):
+                vs = p.createVisualShape(p.GEOM_SPHERE,
+                                         radius=self.JOINT_RADIUS,
+                                         rgbaColor=color)
+                joints.append(p.createMultiBody(baseMass=0,
+                                                baseVisualShapeIndex=vs))
+            bones = {}
+            for j in range(1, model.num_joints):
+                length = max(float(np.linalg.norm(bone[j]))
+                             - 2 * self.JOINT_RADIUS, 0.01)
+                vs = p.createVisualShape(p.GEOM_CAPSULE,
+                                         radius=self.BONE_RADIUS,
+                                         length=length, rgbaColor=color)
+                bones[j] = (p.createMultiBody(baseMass=0,
+                                              baseVisualShapeIndex=vs),
+                            parent[j])
+            self._bodies.append((joints, bones))
         return self
 
+    @staticmethod
+    def _capsule_quat_xyzw(d: np.ndarray):
+        r"""Quaternion rotating the capsule's +z axis onto direction d."""
+        z = np.asarray([0.0, 0.0, 1.0])
+        d = d / max(np.linalg.norm(d), 1e-9)
+        axis = np.cross(z, d)
+        s = np.linalg.norm(axis)
+        c = float(np.dot(z, d))
+        if s < 1e-8:
+            return [1.0, 0.0, 0.0, 0.0] if c < 0 else [0.0, 0.0, 0.0, 1.0]
+        axis = axis / s
+        half = np.arctan2(s, c) / 2.0
+        sh = np.sin(half)
+        return [axis[0] * sh, axis[1] * sh, axis[2] * sh, np.cos(half)]
+
     def update_all(self, poses: List[np.ndarray], trans: List[np.ndarray]):
+        r"""Update every subject from SMPL (pose [24,3,3], tran [3]) —
+        semantics of the reference's update_all (view_motion.py:66-75)."""
+        assert len(poses) == len(trans) == self.n, (
+            "number of motions differs from the viewer's subject count")
         self._record((poses, trans))
-        # GUI body-pose rendering requires the urdf assets; headless mode
-        # records only.
+        if self._client is None:
+            return
+        import jax.numpy as jnp
+        import pybullet as p
+        model = self._body_model()
+        for s, (pose, tran) in enumerate(zip(poses, trans)):
+            pose = np.asarray(pose, np.float32).reshape(1, 24, 3, 3)
+            tran = (np.asarray(tran, np.float32).reshape(3)
+                    + self.offsets[s])
+            _, joints_pos = model.forward_kinematics(jnp.asarray(pose))
+            jpos = np.asarray(joints_pos)[0] + tran
+            joint_ids, bone_ids = self._bodies[s]
+            for j, bid in enumerate(joint_ids):
+                p.resetBasePositionAndOrientation(bid, jpos[j].tolist(),
+                                                  [0, 0, 0, 1])
+            for j, (bid, par) in bone_ids.items():
+                mid = (jpos[j] + jpos[par]) / 2.0
+                quat = self._capsule_quat_xyzw(jpos[j] - jpos[par])
+                p.resetBasePositionAndOrientation(bid, mid.tolist(), quat)
 
     def disconnect(self):
         if self._client is not None:
             import pybullet as p
             p.disconnect(self._client)
+            self._client = None
+        self._bodies = []
 
 
 class StreamingDataViewer(_HeadlessMixin):
