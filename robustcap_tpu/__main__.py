@@ -159,6 +159,10 @@ def main(argv=None):
     pt.set_defaults(fn=cmd_train)
 
     args = p.parse_args(argv)
+    # multi-host no-op unless a coordinator is configured via
+    # ROBUSTCAP_COORDINATOR / JAX_COORDINATOR_ADDRESS (parallel/distributed)
+    from robustcap_tpu.parallel import initialize_distributed
+    initialize_distributed()
     args.fn(args)
 
 
