@@ -36,11 +36,27 @@ __all__ = ["cal_mpjpe", "evaluate_aist_ours", "evaluate_tc_ours",
            "evaluate_pw3d_ours", "evaluate_sequences"]
 
 
+_WARNED_REGRESSOR = False
+
+
 def _load_j_regressor(model: ParametricModel) -> np.ndarray:
     r"""H36M 14-joint regressor (evaluate.py:17). Falls back to the body
-    model's own regressor rows when the asset is absent (procedural mode)."""
+    model's own regressor rows when the asset is absent (procedural mode) —
+    with a loud warning, because the fallback CHANGES the metric definition:
+    MPJPE over the SMPL model's first 14 joints is not comparable to
+    published H36M-regressed numbers."""
+    global _WARNED_REGRESSOR
     if os.path.exists(paths.j_regressor_file):
         return np.load(paths.j_regressor_file).astype(np.float32)
+    if not _WARNED_REGRESSOR:
+        import warnings
+        warnings.warn(
+            f"H36M joint regressor not found at {paths.j_regressor_file}; "
+            "falling back to the body model's own first 14 regressor rows. "
+            "MPJPE/PA-MPJPE computed this way are NOT comparable to "
+            "published H36M-regressed numbers — install "
+            "J_regressor_h36m.npy for metric parity.", stacklevel=2)
+        _WARNED_REGRESSOR = True
     return np.asarray(model._J_regressor)[:14]
 
 

@@ -65,11 +65,16 @@ def synthesize_imu(glb_rot: jnp.ndarray, verts: jnp.ndarray,
     return ori, acc
 
 
-def sync_3d_mp(verts: jnp.ndarray, joints: jnp.ndarray) -> jnp.ndarray:
-    r"""Pseudo-MediaPipe 3-D landmarks from a posed body: mask vertices with
-    shoulders/elbows/wrists/hips/knees/ankles replaced by true joints
-    (utils.py:129-135). verts [T, V, 3], joints [T, 24, 3] -> [T, 33, 3]."""
-    syn = verts[:, _MP]
+def sync_3d_mp(verts_mp: jnp.ndarray, joints: jnp.ndarray) -> jnp.ndarray:
+    r"""Pseudo-MediaPipe 3-D landmarks from a posed body: the (ALREADY
+    GATHERED) 33 mask vertices with shoulders/elbows/wrists/hips/knees/
+    ankles replaced by true joints (utils.py:129-135).
+
+    verts_mp [T, 33, 3] — mesh vertices at ``MP_VERTEX_MASK`` (callers
+    gather; subset-LBS pipelines index into their own vertex subset) —
+    joints [T, 24, 3] -> [T, 33, 3]. Cross-checked against the reference's
+    ``sync_mp3d_from_smpl`` in tests/test_reference_parity_extra.py."""
+    syn = verts_mp
     syn = syn.at[:, 11:17].set(joints[:, 16:22])
     syn = syn.at[:, 23:25].set(joints[:, 1:3])
     syn = syn.at[:, 25:27].set(joints[:, 4:6])

@@ -106,7 +106,11 @@ class Renderer:
         self.model = model or ParametricModel(official_model_file)
         self.resolution = resolution
         try:
-            import pyrender  # noqa: F401
+            import pyrender
+            # a *usable* pyrender, not a bare stub (test harnesses may
+            # register placeholder modules for unrelated imports)
+            if not hasattr(pyrender, "OffscreenRenderer"):
+                raise ImportError("pyrender lacks OffscreenRenderer")
             self._backend = "pyrender"
         except ImportError:
             self._backend = "software"

@@ -129,6 +129,22 @@ def load_reference(tmp_root: str = None):
     return ns
 
 
+def import_reference_module(name: str):
+    r"""Import an additional top-level reference module (e.g. ``utils``,
+    ``preprocess``) after :func:`load_reference` — with cwd at the scratch
+    root so relative asset paths (models/SMPL_male.pkl) resolve."""
+    import importlib
+
+    ns = load_reference()
+    scratch = os.path.dirname(os.path.dirname(ns.smpl_file))
+    cwd = os.getcwd()
+    os.chdir(scratch)
+    try:
+        return importlib.import_module(name)
+    finally:
+        os.chdir(cwd)
+
+
 def torch_state_dict_numpy(module):
     return {k: v.detach().cpu().numpy() for k, v in module.state_dict().items()}
 
