@@ -51,6 +51,9 @@ def _install_stubs():
     if not hasattr(smplx, "SMPL"):
         smplx.SMPL = object  # net/smplify/temporal_smplify.py type hints only
         _stub_module("smplx.SMPL")
+    # articulate.utils.xsens imports xdc.py, which imports bleak at module
+    # top (xdc.py:29); only class references are taken at import time
+    _stub_module("bleak", BleakScanner=object, BleakClient=object)
 
 
 def write_reference_smpl_pickle(path: str, data=None) -> str:
