@@ -11,6 +11,7 @@ from .xdc_codec import (UUIDS, PayloadMode, PAYLOAD_FORMATS,  # noqa: F401
                         parse_device_report, parse_battery)
 from .mvnx import read_mvnx  # noqa: F401
 from .bridge import run_imu_bridge, SyntheticImuSource  # noqa: F401
+from .capture import record_video, read_dot_export_csvs  # noqa: F401
 from .calibration import (calibrate_intrinsics_zhang,  # noqa: F401
                           calibrate_camera_chessboard)
 from .noitom import MocapApi, NoitomFrame  # noqa: F401

@@ -19,7 +19,8 @@ from typing import List, Sequence
 
 import numpy as np
 
-__all__ = ["RotationViewer", "BulletMotionViewer", "StreamingDataViewer"]
+__all__ = ["RotationViewer", "BulletMotionViewer", "StreamingDataViewer",
+           "Button", "Slider"]
 
 
 class _HeadlessMixin:
@@ -193,6 +194,71 @@ class BulletMotionViewer(_HeadlessMixin):
             p.disconnect(self._client)
             self._client = None
         self._bodies = []
+
+
+class Button:
+    r"""pybullet debug-GUI button (reference bullet.py:90-121). Headless
+    (no pybullet): ``click()`` simulates presses so control flow written
+    against buttons stays testable."""
+
+    def __init__(self, name: str, pybullet_server_id: int = 0):
+        self.name = name
+        self.pid = pybullet_server_id
+        self._last = 0
+        self._sim_clicks = 0
+        try:
+            import pybullet as p
+            self._btn = p.addUserDebugParameter(f" {name} ", 1, 0, 0,
+                                                pybullet_server_id)
+        except Exception:
+            self._btn = None
+
+    def click(self):
+        r"""Simulate one click (headless/testing)."""
+        self._sim_clicks += 1
+
+    def num_clicks(self) -> int:
+        if self._btn is not None:
+            import pybullet as p
+            return int(p.readUserDebugParameter(self._btn, self.pid))
+        return self._sim_clicks
+
+    def is_click(self) -> bool:
+        r"""True when clicked since the last call (bullet.py:104-113)."""
+        c = self.num_clicks()
+        r = c != self._last
+        self._last = c
+        return r
+
+
+class Slider:
+    r"""pybullet debug-GUI slider (reference bullet.py:123-160)."""
+
+    def __init__(self, name: str, range=(0.0, 1.0), current=None,
+                 pybullet_server_id: int = 0):
+        self.name = name
+        self.pid = pybullet_server_id
+        self._value = float(current if current is not None else range[0])
+        try:
+            import pybullet as p
+            self._sld = p.addUserDebugParameter(
+                f" {name} ", range[0], range[1], self._value,
+                pybullet_server_id)
+        except Exception:
+            self._sld = None
+
+    def set(self, value: float):
+        r"""Headless setter (the GUI slider drives the value otherwise)."""
+        self._value = float(value)
+
+    def get_float(self) -> float:
+        if self._sld is not None:
+            import pybullet as p
+            return float(p.readUserDebugParameter(self._sld, self.pid))
+        return self._value
+
+    def get_int(self) -> int:
+        return int(round(self.get_float()))
 
 
 class StreamingDataViewer(_HeadlessMixin):

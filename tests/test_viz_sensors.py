@@ -125,3 +125,44 @@ class TestMvnx:
         assert out["frame_rate"] == 60.0
         assert out["orientation"].shape == (2, 2, 4)
         assert out["position"].shape == (2, 2, 3)
+
+
+class TestDotExportReader:
+    def test_reads_session_dir(self, tmp_path):
+        r"""Xsens DOT Data Exporter CSV session -> {sensor: q/a arrays}
+        (reference xsens_offline_data_reader.py)."""
+        import numpy as np
+        from robustcap_tpu.sensors import read_dot_export_csvs
+        for sid in ("AAA111", "BBB222"):
+            lines = ["sep=,", "PacketCounter,Quat_W,Quat_X,Quat_Y,Quat_Z,"
+                     "Acc_X,Acc_Y,Acc_Z"]
+            for t in range(5):
+                lines.append(f"{t},1,0,0,0,{0.1*t:.2f},0,9.8")
+            (tmp_path / f"20230124_{sid}_v1.csv").write_text(
+                "\n".join(lines) + "\n")
+        data = read_dot_export_csvs(str(tmp_path))
+        assert set(data) == {"AAA111", "BBB222"}
+        assert data["AAA111"]["q"].shape == (5, 4)
+        np.testing.assert_allclose(data["AAA111"]["a"][:, 2], 9.8)
+        np.testing.assert_allclose(data["BBB222"]["a"][3, 0], 0.3,
+                                   atol=1e-6)
+
+
+class TestDebugParams:
+    def test_button_click_semantics(self):
+        r"""is_click() fires once per press (reference bullet.py:104-113)."""
+        from robustcap_tpu.viz import Button
+        b = Button("start")
+        assert not b.is_click()
+        b.click()
+        assert b.is_click()
+        assert not b.is_click()    # consumed
+        b.click(); b.click()
+        assert b.num_clicks() == 3
+
+    def test_slider_value(self):
+        from robustcap_tpu.viz import Slider
+        s = Slider("gain", range=(0, 10), current=2.5)
+        assert s.get_float() == 2.5
+        s.set(7.6)
+        assert s.get_int() == 8
