@@ -48,16 +48,25 @@ class SyntheticImuSource:
 
 def run_imu_bridge(source=None, addresses: Optional[Sequence[str]] = None,
                    live: LiveConfig = LiveConfig(), dest=None,
-                   max_packets=None):
+                   max_packets=None, transport_factory=None,
+                   reset_heading: bool = False):
     r"""Forward sensor samples to UDP (xsens_dot_server_no_gui.py).
 
     ``source``: an object with ``read() -> (t, quats [n,4], accs [n,3])``
-    (e.g. ``SyntheticImuSource``); when None, connects real Xsens DOTs via
-    ``XsensDotSet`` (requires bleak + hardware).
+    (e.g. ``SyntheticImuSource``); when None, connects Xsens DOTs via
+    ``XsensDotSet`` — over bleak radio by default, or any injected
+    ``transport_factory`` (e.g. ``FakeDotTransport`` for hardware-free
+    runs) — and starts streaming (optionally resetting headings first,
+    mirroring the reference server's hotkey flow).
     """
+    dots = None
     if source is None:
-        dots = XsensDotSet(addresses or list(live.imu_addrs))
+        dots = XsensDotSet(addresses or list(live.imu_addrs),
+                           transport_factory=transport_factory)
         dots.connect()
+        dots.start_streaming()
+        if reset_heading:
+            dots.reset_heading()
 
         class _HwSource:
             def read(self):
@@ -74,11 +83,16 @@ def run_imu_bridge(source=None, addresses: Optional[Sequence[str]] = None,
     dt = 1.0 / live.fps
     n = 0
     next_t = time.time()
-    while max_packets is None or n < max_packets:
-        t, quats, accs = source.read()
-        udp.sendto(encode_imu_packet(t, quats, accs), dest)
-        n += 1
-        next_t += dt
-        sleep = next_t - time.time()
-        if sleep > 0:
-            time.sleep(sleep)
+    try:
+        while max_packets is None or n < max_packets:
+            t, quats, accs = source.read()
+            udp.sendto(encode_imu_packet(t, quats, accs), dest)
+            n += 1
+            next_t += dt
+            sleep = next_t - time.time()
+            if sleep > 0:
+                time.sleep(sleep)
+    finally:
+        if dots is not None:
+            dots.shutdown()
+    return n
