@@ -73,9 +73,13 @@ def main():
 
     model = ParametricModel(data=synthetic_smpl_data())
     params = sig_mp.init_params(jax.random.PRNGKey(0))  # full-size bank
-    if os.environ.get("BENCH_DTYPE", "f32") in ("bf16", "bfloat16"):
+    bench_dtype = os.environ.get("BENCH_DTYPE", "f32")
+    if bench_dtype in ("bf16", "bfloat16"):
         from robustcap_tpu.nn.rnn import cast_params
         params = cast_params(params, jnp.bfloat16)
+    elif bench_dtype == "int8":
+        from robustcap_tpu.nn.rnn import quantize_params
+        params = quantize_params(params)
     cfg = SigMPConfig()
 
     rng = np.random.RandomState(0)

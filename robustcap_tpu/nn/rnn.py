@@ -29,6 +29,8 @@ __all__ = [
     "init_linear", "init_lstm_layer", "init_rnn_params", "init_state",
     "lstm_cell", "rnn_step", "rnn_scan", "rnn_forward_padded",
     "init_net_apply", "rnn_params_from_torch", "cast_params",
+    "quantize_tensor", "dequantize_tensor", "quantize_params",
+    "is_quantized",
 ]
 
 
@@ -39,13 +41,110 @@ def cast_params(params, dtype):
     every time step; bfloat16 storage halves the bytes. ``rnn_step`` runs
     its gate math in the weights' dtype and returns float32 outputs, so the
     surrounding geometry stays full precision.
+
+    Quantized parameter trees (see :func:`quantize_params`) are returned
+    unchanged — casting their int8 payload would silently dequantize and
+    casting the scales would lose the calibration.
     """
+    if is_quantized(params):
+        return params
+
     def cast(x):
         if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.floating):
             return x.astype(dtype)
         return x
 
     return jax.tree.map(cast, params)
+
+
+# ---------------------------------------------------------------------------
+# int8 weight quantization (serving)
+# ---------------------------------------------------------------------------
+#
+# Weight-only W8 storage: each 2-D weight matrix is stored as a symmetric
+# per-output-channel int8 tensor ``{"q": int8 [out, in], "scale": f32
+# [out, 1]}`` and dequantized to bfloat16 at compute time. For the streaming
+# single-frame dispatch (one ``rnn_step`` per call — no loop for XLA to
+# hoist the dequant out of) this reads a quarter of the f32 bytes from HBM
+# per step; inside long scans XLA's loop-invariant code motion materializes
+# the bf16 weights once per program, so the win there is checkpoint/HBM
+# footprint (~4x), not per-step bandwidth. Biases and the quantization
+# scales stay float32. Inference-only: no gradient path is defined through
+# the rounding.
+
+_QUANT_KEYS = ("q", "scale")
+
+
+def _is_qtensor(x) -> bool:
+    return isinstance(x, dict) and set(x.keys()) == set(_QUANT_KEYS)
+
+
+def is_quantized(params) -> bool:
+    r"""True if ``params`` (any nesting) holds int8-quantized weights."""
+    found = False
+
+    def visit(x):
+        nonlocal found
+        if _is_qtensor(x):
+            found = True
+        return x
+
+    jax.tree.map(visit, params, is_leaf=_is_qtensor)
+    return found
+
+
+def quantize_tensor(w):
+    r"""Symmetric per-output-channel (row) int8 quantization of ``w``
+    [out, in] -> {"q": int8 [out, in], "scale": f32 [out, 1]}."""
+    amax = jnp.max(jnp.abs(w), axis=-1, keepdims=True)
+    scale = (jnp.maximum(amax, 1e-12) / 127.0).astype(jnp.float32)
+    q = jnp.clip(jnp.round(w / scale), -127, 127).astype(jnp.int8)
+    return {"q": q, "scale": scale}
+
+
+def dequantize_tensor(w, dtype=jnp.float32):
+    r"""Inverse of :func:`quantize_tensor` (up to rounding)."""
+    return w["q"].astype(dtype) * w["scale"].astype(dtype)
+
+
+def quantize_params(params):
+    r"""Quantize every 2-D weight matrix of an RNN parameter tree (or a dict
+    of trees, e.g. the full sig_mp six-module bank) to int8.
+
+    Weights (``w``, ``w_ih``, ``w_hh``) become ``{"q", "scale"}`` records;
+    biases remain float32. The result feeds the same ``rnn_step`` /
+    ``rnn_scan`` / ``init_net_apply`` entry points; gate math runs in
+    bfloat16.
+    """
+    def q(x):
+        if _is_qtensor(x):
+            return x
+        if (hasattr(x, "ndim") and x.ndim == 2
+                and jnp.issubdtype(x.dtype, jnp.floating)):
+            return quantize_tensor(x)
+        return x
+
+    return jax.tree.map(q, params, is_leaf=_is_qtensor)
+
+
+def _wval(w, dtype):
+    r"""A weight leaf as a dense array in ``dtype`` (dequantizing if int8)."""
+    if _is_qtensor(w):
+        return dequantize_tensor(w, dtype)
+    return w.astype(dtype) if w.dtype != dtype else w
+
+
+def _wshape(w):
+    return w["q"].shape if _is_qtensor(w) else w.shape
+
+
+def _compute_dtype(params):
+    r"""dtype the gate math runs in: the stored weight dtype, or bfloat16
+    for int8-quantized weights."""
+    w = params["linear1"]["w"]
+    if _is_qtensor(w):
+        return jnp.bfloat16
+    return w.dtype
 
 
 # ---------------------------------------------------------------------------
@@ -100,7 +199,7 @@ def init_rnn_params(key, input_size: int, output_size: int, hidden_size: int,
 def init_state(params, batch_shape: Tuple[int, ...] = (), dtype=jnp.float32):
     r"""Zero (h, c) state: each [num_layers, *batch_shape, hidden]."""
     L = len(params["layers"])
-    H = params["layers"][0]["w_hh"].shape[1]
+    H = _wshape(params["layers"][0]["w_hh"])[1]
     shape = (L,) + tuple(batch_shape) + (H,)
     return jnp.zeros(shape, dtype), jnp.zeros(shape, dtype)
 
@@ -111,7 +210,7 @@ def init_state(params, batch_shape: Tuple[int, ...] = (), dtype=jnp.float32):
 
 
 def _linear(p, x):
-    return x @ p["w"].T + p["b"]
+    return x @ _wval(p["w"], x.dtype).T + p["b"].astype(x.dtype)
 
 
 def lstm_cell(layer, x, h, c):
@@ -120,10 +219,13 @@ def lstm_cell(layer, x, h, c):
     The input/hidden matmuls are fused into one ``[x | h] @ [W_ih | W_hh]^T``
     contraction; the weight/bias concatenations are loop-invariant, so XLA
     hoists them out of scans — one MXU call per layer per step instead of
-    two.
+    two. int8-quantized weights are dequantized to the activation dtype here
+    (per-row scales differ between W_ih and W_hh, so dequant precedes the
+    concat).
     """
-    w = jnp.concatenate([layer["w_ih"], layer["w_hh"]], axis=1)
-    b = layer["b_ih"] + layer["b_hh"]
+    w = jnp.concatenate([_wval(layer["w_ih"], x.dtype),
+                         _wval(layer["w_hh"], x.dtype)], axis=1)
+    b = (layer["b_ih"] + layer["b_hh"]).astype(x.dtype)
     z = jnp.concatenate([x, h], axis=-1) @ w.T + b
     i, f, g, o = jnp.split(z, 4, axis=-1)
     c_new = jax.nn.sigmoid(f) * c + jax.nn.sigmoid(i) * jnp.tanh(g)
@@ -144,7 +246,7 @@ def rnn_step(params, x, state, *, dropout: float = 0.0,
     ``cast_params``) and the output is returned in the input's dtype.
     """
     h, c = state
-    w_dtype = params["linear1"]["w"].dtype
+    w_dtype = _compute_dtype(params)
     out_dtype = x.dtype
     if x.dtype != w_dtype:
         x = x.astype(w_dtype)
@@ -232,7 +334,7 @@ def init_net_apply(params, first_label):
     x = jax.nn.relu(_linear(params["init_net"][1], x))
     x = _linear(params["init_net"][2], x)
     L = len(params["layers"])
-    H = params["layers"][0]["w_hh"].shape[1]
+    H = _wshape(params["layers"][0]["w_hh"])[1]
     hc = x.reshape(x.shape[:-1] + (2, L, H))
     # torch layout: view(B, 2, L, H).permute(1, 2, 0, 3) -> (h, c) [L, B, H]
     h = jnp.moveaxis(hc[..., 0, :, :], -2, 0)
