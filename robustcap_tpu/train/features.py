@@ -113,13 +113,21 @@ def rnn3_features(dataset: Dict) -> Tuple[List, List]:
     return data, label
 
 
-def cliff_normalize_seq(j2dc: np.ndarray) -> np.ndarray:
+def cliff_normalize_seq(j2dc: np.ndarray, bbox_scale: bool = True
+                        ) -> np.ndarray:
     r"""Whole-sequence bbox + root-centering normalization
     (sig_mp.py:465-468): divide x/y by the per-frame bbox scale, then center
-    all rows except row 23 on (pre-centering) row 23."""
+    all rows except row 23 on (pre-centering) row 23.
+
+    ``bbox_scale=False`` reproduces the reference's occluded-sample path
+    (sig_mp.py:475-486): there the bbox division is applied to the *already
+    consumed* clean ``j2dc`` tensor instead of ``j2dc_occ`` (a reference
+    bug), so the occluded keypoints that actually enter training are only
+    K^-1-normalized and root-centered, never bbox-scaled."""
     out = j2dc.copy()
-    scale = np.asarray(get_bbox_scale(jnp.asarray(out))).reshape(-1, 1, 1)
-    out[..., :2] = out[..., :2] / scale
+    if bbox_scale:
+        scale = np.asarray(get_bbox_scale(jnp.asarray(out))).reshape(-1, 1, 1)
+        out[..., :2] = out[..., :2] / scale
     center = out[:, 23:24, :2].copy()
     out[:, 24:, :2] -= center
     out[:, :23, :2] -= center
@@ -175,7 +183,7 @@ def rnn4_features_aist(dataset: Dict, num_cameras=None,
                 kpo = _detector_kp(dataset, "joint2d_occ", i, j, Kinv)
                 if kpo is None or len(kpo) != len(oric):
                     continue
-                kpo = cliff_normalize_seq(kpo)
+                kpo = cliff_normalize_seq(kpo, bbox_scale=False)
                 x = np.concatenate([accc.reshape(len(accc), -1),
                                     oric.reshape(len(oric), -1),
                                     kpo.reshape(len(kpo), -1)], 1)
@@ -280,7 +288,7 @@ def amass_mp_base(dataset: Dict) -> Tuple[List, List]:
 
 def amass_camera_augment(key, data: jnp.ndarray, label: jnp.ndarray,
                          conf_pool: jnp.ndarray, target: str = "rnn4",
-                         yaw=(-180.0, 180.0)):
+                         yaw=(-180.0, 180.0), draws: dict = None):
     r"""Per-draw random camera + translation + keypoint-confidence synthesis
     (sig_mp.py:520-552 for rnn4; :649-679 for rnn6, which uses yaw +-90).
 
@@ -288,8 +296,13 @@ def amass_camera_augment(key, data: jnp.ndarray, label: jnp.ndarray,
     Returns (data', label') in a synthetic camera frame: for rnn4 the label
     is root-relative joints [T, 69]; for rnn6 the absolute root [T, 3] and
     the data gains the relative joints (99 -> 99+69 block layout of rnn6).
+
+    ``draws`` optionally pins the random draws for cross-implementation
+    parity tests: ``{"Rc0c": [3, 3], "uniform3": [3]}`` replace the sampled
+    camera rotation and the translation-lerp uniforms.
     """
     T = data.shape[0]
+    draws = draws or {}
     k1, k2, k3 = jax.random.split(key, 3)
     accw = data[:, :18].reshape(T, 6, 3)
     oriw = data[:, 18:72].reshape(T, 6, 3, 3)
@@ -297,8 +310,11 @@ def amass_camera_augment(key, data: jnp.ndarray, label: jnp.ndarray,
     j3dw = label.reshape(T, 24, 3)
 
     Rwc0 = jnp.asarray([[-1.0, 0, 0], [0, -1.0, 0], [0, 0, 1.0]])
-    Rc0c = M.generate_random_rotation_matrix_constrained(
-        k1, n=1, y=yaw, p=(-30.0, 30.0), r=(-5.0, 5.0))[0]
+    if "Rc0c" in draws:
+        Rc0c = jnp.asarray(draws["Rc0c"])
+    else:
+        Rc0c = M.generate_random_rotation_matrix_constrained(
+            k1, n=1, y=yaw, p=(-30.0, 30.0), r=(-5.0, 5.0))[0]
     Rcw = (Rwc0 @ Rc0c).T
 
     accc = jnp.einsum("ij,tnj->tni", Rcw, accw)
@@ -306,8 +322,10 @@ def amass_camera_augment(key, data: jnp.ndarray, label: jnp.ndarray,
     j3dc = jnp.einsum("ij,tnj->tni", Rcw, j3dw)
     mpc = jnp.einsum("ij,tnj->tni", Rcw, mpw)
 
+    u3 = (jnp.asarray(draws["uniform3"]) if "uniform3" in draws
+          else jax.random.uniform(k2, (3,)))
     tr = M.lerp(jnp.asarray([-1.0, -1.0, 3.0]), jnp.asarray([1.0, 1.0, 8.0]),
-                jax.random.uniform(k2, (3,)))
+                u3)
     tr = tr.at[2].add(-jnp.min(j3dc[..., 2]))
     j3dc = j3dc + tr
     mpc = mpc + tr
@@ -315,13 +333,15 @@ def amass_camera_augment(key, data: jnp.ndarray, label: jnp.ndarray,
     j2dc = mpc / mpc[..., 2:]
     idx = jax.random.choice(k3, conf_pool.shape[0], (T,),
                             replace=conf_pool.shape[0] < T)
-    p = conf_pool[idx].reshape(T, 1)
+    # the reference's syn_c.pt pool is per-frame-per-landmark [N, 33, 1]
+    # (sig_mp.py:541-545 broadcasts it against [T, 33, 2]); a per-frame
+    # scalar pool [N] is accepted too and broadcast over landmarks
+    p = jnp.broadcast_to(conf_pool[idx].reshape(T, -1)[..., None],
+                         (T, 33, 1))
     kn, _ = jax.random.split(k3)
-    noise = jax.random.normal(kn, j2dc[..., :2].shape) \
-        * (0.003 * (1 - p))[..., None]
+    noise = jax.random.normal(kn, j2dc[..., :2].shape) * (0.003 * (1 - p))
     xy = j2dc[..., :2] + noise
-    j2dc = jnp.concatenate(
-        [xy, jnp.broadcast_to(p[:, :, None], j2dc[..., :1].shape)], -1)
+    j2dc = jnp.concatenate([xy, p], -1)
 
     j3dc_rel = (j3dc[:, 1:] - j3dc[:, :1]).reshape(T, -1)
     if target == "rnn4":

@@ -148,6 +148,49 @@ def import_reference_module(name: str):
         os.chdir(cwd)
 
 
+def extract_trainer_inner(trainer_name: str, inner_name: str,
+                          extra_ns: dict = None):
+    r"""Compile a dataset builder nested inside a reference trainer
+    (net/sig_mp.py:301-839) and return it as a standalone callable/class.
+
+    The reference defines its per-RNN feature engineering as functions and
+    classes *inside* ``train_rnn{2,3,4,6,7,8}`` (e.g. ``AISTDataset`` at
+    sig_mp.py:302, the rnn4 ``AMASSDataset`` class at :489), unreachable
+    without launching a training run. This lifts the inner definition out of
+    the real source with ``ast`` and executes it under the reference
+    module's own globals (body_model, device, RNNDataset, art, ...), so
+    parity tests run the genuine reference code, not a re-transcription.
+    Sibling ``augment_fn`` definitions (free variables of some builders) are
+    compiled into the same namespace.
+    """
+    import ast
+    import inspect
+    import textwrap
+
+    ref = load_reference()
+    src = textwrap.dedent(inspect.getsource(getattr(ref.sig_mp, trainer_name)))
+    fn_def = ast.parse(src).body[0]
+    glb = dict(vars(ref.sig_mp))
+    glb.update(extra_ns or {})
+    for node in fn_def.body:
+        if (isinstance(node, (ast.FunctionDef, ast.ClassDef))
+                and node.name in (inner_name, "augment_fn")):
+            mod = ast.Module(body=[node], type_ignores=[])
+            code = compile(ast.fix_missing_locations(mod),
+                           f"<reference {trainer_name}.{node.name}>", "exec")
+            exec(code, glb)
+    if inner_name not in glb:
+        raise KeyError(f"{inner_name} not found inside {trainer_name}")
+    return glb[inner_name]
+
+
+def reference_scratch_root() -> str:
+    r"""The scratch cwd the reference was imported from (contains
+    models/SMPL_male.pkl and any relative-path assets tests add)."""
+    ns = load_reference()
+    return os.path.dirname(os.path.dirname(ns.smpl_file))
+
+
 def torch_state_dict_numpy(module):
     return {k: v.detach().cpu().numpy() for k, v in module.state_dict().items()}
 
