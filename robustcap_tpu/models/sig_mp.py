@@ -41,8 +41,8 @@ import numpy as np
 from .. import math as M
 from ..math.spatial import mat3_mul
 from ..config import (IMU_JOINT_MASK, MP_VERTEX_MASK, SigMPConfig, VEL_SCALE)
-from ..nn.rnn import (init_net_apply, init_rnn_params, init_state,
-                      rnn_params_from_torch, rnn_step)
+from ..nn.rnn import (dequantize_params, init_net_apply, init_rnn_params,
+                      init_state, rnn_params_from_torch, rnn_step)
 from ..smpl.model import ParametricModel
 
 __all__ = [
@@ -515,6 +515,7 @@ def forward_offline(params, body_model, cfg, j2dc, accc, oric,
     foot-contact probabilities [T, 2] are returned too (the head the
     reference computes but never exposes, sig_mp.py:170).
     """
+    params = dequantize_params(params)  # long scan: hoist int8 dequant
     step = make_step(body_model, cfg, include_first_frame_step=False,
                      output_contacts=return_contacts)
     frames = _sequence_frames(j2dc, accc, oric, first_tran, first_frame,
@@ -532,6 +533,7 @@ def forward_offline_batched(params, body_model, cfg, frames_batched,
     pytrees [B, T, ...]. Padded frames still execute (static shapes) but
     callers mask outputs past ``lengths``; hidden-state pollution after a
     sequence's end never flows back into valid frames."""
+    params = dequantize_params(params)  # long scan: hoist int8 dequant
     step = make_step(body_model, cfg, include_first_frame_step=False)
 
     def run_one(frames):

@@ -30,7 +30,7 @@ __all__ = [
     "lstm_cell", "rnn_step", "rnn_scan", "rnn_forward_padded",
     "init_net_apply", "rnn_params_from_torch", "cast_params",
     "quantize_tensor", "dequantize_tensor", "quantize_params",
-    "is_quantized",
+    "dequantize_params", "is_quantized",
 ]
 
 
@@ -125,6 +125,26 @@ def quantize_params(params):
         return x
 
     return jax.tree.map(q, params, is_leaf=_is_qtensor)
+
+
+def dequantize_params(params, dtype=jnp.bfloat16):
+    r"""Materialize every int8-quantized weight of a parameter tree as a
+    dense ``dtype`` array; no-op for unquantized trees.
+
+    Long-scan paths call this once before ``lax.scan``: inside a scan the
+    weights are re-read from HBM every step either way, but dequantizing
+    in-loop adds ~50M VPU multiplies per step that XLA does not reliably
+    hoist. The single-frame streaming dispatch keeps int8 in-step instead —
+    there the halved HBM weight traffic is the whole win (0.22 ms vs
+    0.43 ms f32 measured, docs/PERFORMANCE.md).
+    """
+    if not is_quantized(params):
+        return params
+
+    def d(x):
+        return dequantize_tensor(x, dtype) if _is_qtensor(x) else x
+
+    return jax.tree.map(d, params, is_leaf=_is_qtensor)
 
 
 def _wval(w, dtype):
@@ -276,6 +296,7 @@ def rnn_step(params, x, state, *, dropout: float = 0.0,
 def rnn_scan(params, xs, state0=None, *, dropout: float = 0.0,
              rng: Optional[jax.Array] = None):
     r"""Run a whole sequence: xs [T, ..., in] -> (ys [T, ..., out], state)."""
+    params = dequantize_params(params)
     if state0 is None:
         state0 = init_state(params, xs.shape[1:-1], xs.dtype)
     T = xs.shape[0]
@@ -305,6 +326,7 @@ def rnn_forward_padded(params, xs, lengths, state0=None, *,
     carry and zero its output, so results equal running each sequence alone —
     the reference gets this from pack_padded_sequence (rnn.py:129-133).
     """
+    params = dequantize_params(params)
     if state0 is None:
         state0 = init_state(params, xs.shape[1:-1], xs.dtype)
     T = xs.shape[0]
