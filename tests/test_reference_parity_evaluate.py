@@ -1,0 +1,194 @@
+r"""Cross-implementation parity of the COMPLETE evaluation driver.
+
+Executes the reference's actual ``evaluate_aist_ours`` (evaluate.py:20-117)
+— dataset assembly, camera enumeration, not_aligned filtering, per-frame
+``forward_online``, result.pt caching, ``cal_mpjpe`` (H36M-regressed 14
+joints, pelvis-aligned, PA-MPJPE) and the absolute-root-position error —
+against this repo's ``evaluate_aist_ours`` on the same fixture corpus with
+the same converted random weights and the same (synthetic) H36M regressor.
+
+Everything below the driver was already parity-tested piecewise
+(test_reference_parity*.py); this closes the loop end-to-end: same inputs,
+same weights -> same published numbers.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+from _reference_harness import (import_reference_module, load_reference,
+                                make_reference_net, reference_scratch_root,
+                                torch_state_dict_numpy)
+
+from robustcap_tpu.models import sig_mp as jx
+from robustcap_tpu.preprocess import build_fixture_dataset
+from robustcap_tpu.smpl.model import ParametricModel
+
+N_SEQ, T, N_CAM = 1, 16, 9  # T must exceed the fixture's smoothing kernel
+EXCLUDED = "synth_seq_0_c03"      # exercises the not_aligned filter
+
+
+@pytest.fixture(scope="module")
+def world():
+    ref = load_reference()
+    scratch = reference_scratch_root()
+    model = ParametricModel(data=ref.smpl_data)
+
+    # synthetic H36M regressor shared by BOTH sides (17 rows like the real
+    # asset; both implementations use rows [:14] after the matmul)
+    rng = np.random.RandomState(7)
+    V = model.num_verts
+    jr = rng.uniform(0, 1, (17, V)).astype(np.float32)
+    jr /= jr.sum(axis=1, keepdims=True)
+    jr_path = os.path.join(scratch, "data", "dataset_work",
+                           "J_regressor_h36m.npy")
+    os.makedirs(os.path.dirname(jr_path), exist_ok=True)
+    np.save(jr_path, jr)
+
+    # fixture corpus in the AIST schema at the reference's default relative
+    # location (config.py:6) under the scratch root
+    ds = build_fixture_dataset(model, n_seq=N_SEQ, T=T, n_cam=N_CAM, seed=3)
+    aist_dir = os.path.join(scratch, "data", "dataset_work", "AIST")
+    os.makedirs(aist_dir, exist_ok=True)
+
+    def tt(x):
+        return torch.from_numpy(np.ascontiguousarray(x, np.float32))
+
+    ds_t = {
+        "name": list(ds["name"]),
+        "pose": [tt(p) for p in ds["pose"]],
+        "tran": [tt(t) for t in ds["tran"]],
+        "joint3d": [tt(j) for j in ds["joint3d"]],
+        "imu_ori": [tt(o) for o in ds["imu_ori"]],
+        "imu_acc": [tt(a) for a in ds["imu_acc"]],
+        "joint2d_mp": [[tt(k) for k in cams] for cams in ds["joint2d_mp"]],
+        "cam_K": [[tt(K) for K in cams] for cams in ds["cam_K"]],
+        "cam_T": [[tt(Tm) for Tm in cams] for cams in ds["cam_T"]],
+    }
+    torch.save(ds_t, os.path.join(aist_dir, "test.pt"))
+    with open(os.path.join(aist_dir, "not_aligned.txt"), "w") as f:
+        f.write(EXCLUDED + "\n")
+
+    # converted random weights on both sides (same net as the step-level
+    # parity tests, incl. the contact-head bias so floor logic fires)
+    net = make_reference_net(seed=0)
+    with torch.no_grad():
+        net.rnn8.linear2.bias += 2.5
+    wdir = os.path.join(scratch, "data", "weights", "sig_mp")
+    os.makedirs(wdir, exist_ok=True)
+    torch.save(net.state_dict(), os.path.join(wdir, "best_weights.pt"))
+    params = jx.params_from_torch_state_dict(torch_state_dict_numpy(net))
+
+    # the reference caches results/errors next to the dataset — start clean
+    for stale in ("result.pt", "errors.pt"):
+        p = os.path.join(aist_dir, stale)
+        if os.path.exists(p):
+            os.remove(p)
+
+    ref_eval = import_reference_module("evaluate")
+    return ref, ref_eval, scratch, aist_dir, model, params, ds
+
+
+@pytest.fixture(scope="module")
+def ref_results(world):
+    ref, ref_eval, scratch, aist_dir, model, params, ds = world
+    cwd = os.getcwd()
+    os.chdir(scratch)   # the driver uses relative cache paths
+    try:
+        ref_eval.evaluate_aist_ours(run_smplify=False)
+    finally:
+        os.chdir(cwd)
+    pose_p, pose_t, tran_p, tran_t = torch.load(
+        os.path.join(aist_dir, "result.pt"), weights_only=False)
+    errors = torch.load(os.path.join(aist_dir, "errors.pt"),
+                        weights_only=False)
+    return ([p.numpy() for p in pose_p], [p.numpy() for p in pose_t],
+            [t.numpy() for t in tran_p], [t.numpy() for t in tran_t],
+            errors.numpy())
+
+
+@pytest.fixture(scope="module")
+def our_results(world):
+    import robustcap_tpu.config as C
+    import robustcap_tpu.eval.evaluate as E
+
+    ref, ref_eval, scratch, aist_dir, model, params, ds = world
+    saved = E.paths
+    E.paths = C.Paths(data_root=os.path.join(scratch, "data"))
+    try:
+        out = E.evaluate_aist_ours(run_smplify=False, params=params,
+                                   model=model, dataset=ds, use_cache=False)
+    finally:
+        E.paths = saved
+    return out
+
+
+def test_not_aligned_filter_applied(world, our_results):
+    valid = np.asarray(our_results["valid"])
+    assert valid.shape == (N_SEQ * N_CAM,)
+    assert valid.sum() == N_SEQ * N_CAM - 1
+    assert not valid[2]  # c03 excluded
+
+
+def test_trajectories_match_reference_driver(ref_results, our_results):
+    pose_ref, pose_t_ref, tran_ref, tran_t_ref, _ = ref_results
+    assert len(pose_ref) == len(our_results["pose_p"]) == N_SEQ * N_CAM
+    for i in range(len(pose_ref)):
+        np.testing.assert_allclose(
+            np.asarray(our_results["pose_p"][i]), pose_ref[i], atol=5e-4,
+            err_msg=f"pose trajectory {i} diverges from the reference")
+        np.testing.assert_allclose(
+            np.asarray(our_results["tran_p"][i]), tran_ref[i], atol=2e-3,
+            err_msg=f"tran trajectory {i} diverges from the reference")
+        # ground-truth plumbing (camera-frame pose/tran) identical too
+        np.testing.assert_allclose(
+            np.asarray(our_results["pose_t"][i]).reshape(pose_t_ref[i].shape),
+            pose_t_ref[i], atol=1e-5)
+        np.testing.assert_allclose(
+            np.asarray(our_results["tran_t"][i]), tran_t_ref[i], atol=1e-5)
+
+
+def test_metrics_match_reference_driver(world, ref_results, our_results):
+    ref = world[0]
+    pose_ref, _, tran_ref, tran_t_ref, errors_ref = ref_results
+    # per-sequence [mpjpe, pve, pampjpe]
+    np.testing.assert_allclose(np.asarray(our_results["errors"]), errors_ref,
+                               atol=2e-4)
+
+    valid = np.asarray(our_results["valid"])
+    ref_means = errors_ref[valid].mean(axis=0)
+    assert abs(our_results["mpjpe"] - ref_means[0]) < 2e-4
+    assert abs(our_results["pve"] - ref_means[1]) < 2e-4
+    assert abs(our_results["pampjpe"] - ref_means[2]) < 2e-4
+
+    # absolute root position error exactly as the driver computes it
+    # (evaluate.py:113-117)
+    eval_fn = ref.art.PositionErrorEvaluator()
+    ref_tran_errs = np.asarray(
+        [float(eval_fn(torch.from_numpy(tran_ref[i]),
+                       torch.from_numpy(tran_t_ref[i])))
+         for i in range(len(tran_ref))])
+    assert abs(our_results["tran_error"]
+               - ref_tran_errs[valid].mean()) < 2e-3
+
+
+def test_result_cache_round_trips_between_implementations(world, ref_results):
+    r"""Our evaluator consumes the reference's own result.pt cache file and
+    reproduces its metrics (cache-format compatibility, evaluate.py:55)."""
+    import robustcap_tpu.config as C
+    import robustcap_tpu.eval.evaluate as E
+
+    ref, ref_eval, scratch, aist_dir, model, params, ds = world
+    saved = E.paths
+    E.paths = C.Paths(data_root=os.path.join(scratch, "data"))
+    try:
+        out = E.evaluate_aist_ours(run_smplify=False, params=None,
+                                   model=model, dataset=ds, use_cache=True)
+    finally:
+        E.paths = saved
+    errors_ref = ref_results[4]
+    np.testing.assert_allclose(np.asarray(out["errors"]), errors_ref,
+                               atol=2e-4)
