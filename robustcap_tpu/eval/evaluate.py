@@ -116,19 +116,28 @@ def _maybe_smplify(results, seqs, run_smplify: bool, model=None):
 def evaluate_sequences(seqs, params=None, model=None, cfg=SigMPConfig(),
                        first_tran_mode="gt", run_smplify=False, mesh=None,
                        cache_path=None, pad_to_multiple=128, max_bucket=32,
-                       extended_metrics=False):
+                       extended_metrics=False, cache_format="result4"):
     r"""Shared eval pipeline: run (or load cached), refine, score.
 
     Returns dict with per-sequence arrays and aggregate metrics.
     ``extended_metrics=True`` additionally aggregates the FullMotionEvaluator
     battery (joint/vertex/angle errors, jerk, 1-s drift, tracking error —
     defined but never wired in the reference, SURVEY.md §6) under
-    ``"full_motion"`` [11, 2]."""
+    ``"full_motion"`` [11, 2].
+
+    ``cache_format`` matches the reference's two on-disk layouts:
+    ``"result4"`` = [pose_p, pose_t, tran_p, tran_t] (AIST/TC result.pt,
+    evaluate.py:98) and ``"result2"`` = [pose_p, tran_p] (3DPW result2.pt,
+    evaluate.py:282). Loading auto-detects either layout."""
     model = model or default_body_model()
     if cache_path is not None and os.path.exists(cache_path):
         import torch
-        pose_p, pose_t, tran_p, tran_t = torch.load(
-            cache_path, map_location="cpu", weights_only=False)
+        loaded = torch.load(cache_path, map_location="cpu",
+                            weights_only=False)
+        if len(loaded) == 2:
+            pose_p, tran_p = loaded
+        else:
+            pose_p, _, tran_p, _ = loaded
         pose_p = [np.asarray(p) for p in pose_p]
         tran_p = [np.asarray(t) for t in tran_p]
     else:
@@ -142,8 +151,11 @@ def evaluate_sequences(seqs, params=None, model=None, cfg=SigMPConfig(),
         if cache_path is not None:
             import torch
             os.makedirs(os.path.dirname(cache_path), exist_ok=True)
-            torch.save([pose_p, [s.pose_gt for s in seqs], tran_p,
-                        [s.tran_gt for s in seqs]], cache_path)
+            if cache_format == "result2":
+                torch.save([pose_p, tran_p], cache_path)
+            else:
+                torch.save([pose_p, [s.pose_gt for s in seqs], tran_p,
+                            [s.tran_gt for s in seqs]], cache_path)
     pose_t = [s.pose_gt for s in seqs]
     tran_t = [s.tran_gt for s in seqs]
     errors = np.stack([
@@ -238,6 +250,7 @@ def evaluate_pw3d_ours(run_smplify: bool = True, occ: bool = False,
     out = evaluate_sequences(seqs, params, model,
                              SigMPConfig(use_flat_floor=False),
                              first_tran_mode="gt", run_smplify=run_smplify,
-                             mesh=mesh, cache_path=cache)
+                             mesh=mesh, cache_path=cache,
+                             cache_format="result2")
     print("mpjpe, pve, pampjpe:", out["mpjpe"], out["pve"], out["pampjpe"])
     return out

@@ -175,6 +175,171 @@ def test_metrics_match_reference_driver(world, ref_results, our_results):
                - ref_tran_errs[valid].mean()) < 2e-3
 
 
+# ---------------------------------------------------------------------------
+# TotalCapture driver (evaluate.py:135-225): 8 cameras, first_frame seeding,
+# end-frame translation alignment
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def tc_world(world):
+    ref, ref_eval, scratch, aist_dir, model, params, ds = world
+    tc = build_fixture_dataset(model, n_seq=N_SEQ, T=T, n_cam=8, seed=9)
+    tc_dir = os.path.join(scratch, "data", "dataset_work", "TotalCapture")
+    os.makedirs(tc_dir, exist_ok=True)
+
+    def tt(x):
+        return torch.from_numpy(np.ascontiguousarray(x, np.float32))
+
+    ds_t = {
+        "name": list(tc["name"]),
+        "pose": [tt(p) for p in tc["pose"]],
+        "tran": [tt(t) for t in tc["tran"]],
+        "imu_ori": [tt(o) for o in tc["imu_ori"]],
+        "imu_acc": [tt(a) for a in tc["imu_acc"]],
+        "joint2d_mp": [[tt(k) for k in cams] for cams in tc["joint2d_mp"]],
+        "cam_K": [[tt(K) for K in cams] for cams in tc["cam_K"]],
+        "cam_T": [[tt(Tm) for Tm in cams] for cams in tc["cam_T"]],
+    }
+    torch.save(ds_t, os.path.join(tc_dir, "test.pt"))
+    for stale in ("result.pt", "error.pt"):
+        p = os.path.join(tc_dir, stale)
+        if os.path.exists(p):
+            os.remove(p)
+    return tc, tc_dir
+
+
+def test_tc_driver_parity(world, tc_world):
+    ref, ref_eval, scratch, aist_dir, model, params, _ = world
+    tc, tc_dir = tc_world
+    cwd = os.getcwd()
+    os.chdir(scratch)
+    try:
+        ref_eval.evaluate_tc_ours(run_smplify=False)
+    finally:
+        os.chdir(cwd)
+    pose_ref, pose_t_ref, tran_ref, tran_t_ref = [
+        [x.numpy() for x in part]
+        for part in torch.load(os.path.join(tc_dir, "result.pt"),
+                               weights_only=False)]
+    errors_ref = torch.load(os.path.join(tc_dir, "error.pt"),
+                            weights_only=False).numpy()
+
+    import robustcap_tpu.config as C
+    import robustcap_tpu.eval.evaluate as E
+    saved = E.paths
+    E.paths = C.Paths(data_root=os.path.join(scratch, "data"))
+    try:
+        out = E.evaluate_tc_ours(run_smplify=False, params=params,
+                                 model=model, dataset=tc, use_cache=False)
+    finally:
+        E.paths = saved
+
+    assert len(pose_ref) == len(out["pose_p"]) == N_SEQ * 8
+    for i in range(len(pose_ref)):
+        np.testing.assert_allclose(np.asarray(out["pose_p"][i]), pose_ref[i],
+                                   atol=5e-4)
+        np.testing.assert_allclose(np.asarray(out["tran_p"][i]), tran_ref[i],
+                                   atol=2e-3)
+    np.testing.assert_allclose(np.asarray(out["errors"]), errors_ref,
+                               atol=2e-4)
+    assert abs(out["mpjpe"] - errors_ref.mean(axis=0)[0]) < 2e-4
+
+    # end-frame-aligned root error exactly as the driver (evaluate.py:220-224)
+    eval_fn = ref.art.PositionErrorEvaluator()
+    errs = []
+    for i in range(len(tran_ref)):
+        off = tran_t_ref[i][-1] - tran_ref[i][-1]
+        errs.append(float(eval_fn(torch.from_numpy(tran_ref[i] + off),
+                                  torch.from_numpy(tran_t_ref[i]))))
+    assert abs(out["tran_error"] - np.mean(errs)) < 2e-3
+
+
+# ---------------------------------------------------------------------------
+# 3DPW driver (evaluate.py:228-313): camera-frame data, flat floor off,
+# per-frame gravity, result2.pt cache holding [pose_p, tran_p] only
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def pw3d_world(world):
+    from robustcap_tpu.preprocess import build_fixture_dataset_pw3d
+
+    ref, ref_eval, scratch, aist_dir, model, params, ds = world
+    pw = build_fixture_dataset_pw3d(model, n_seq=2, T=T, seed=21)
+    pw_dir = os.path.join(scratch, "data", "dataset_work", "3DPW")
+    os.makedirs(pw_dir, exist_ok=True)
+
+    def tt(x):
+        return torch.from_numpy(np.ascontiguousarray(x, np.float32))
+
+    ds_t = {
+        "posec": [tt(p) for p in pw["posec"]],
+        "tranc": [tt(t) for t in pw["tranc"]],
+        "imu_oric": [tt(o) for o in pw["imu_oric"]],
+        "imu_accc": [tt(a) for a in pw["imu_accc"]],
+        "joint2d_mp": [tt(k) for k in pw["joint2d_mp"]],
+        "cam_K": [tt(K) for K in pw["cam_K"]],
+        "cam_T": [tt(Tm) for Tm in pw["cam_T"]],
+    }
+    torch.save(ds_t, os.path.join(pw_dir, "test.pt"))
+    p = os.path.join(pw_dir, "result2.pt")
+    if os.path.exists(p):
+        os.remove(p)
+    return pw, pw_dir
+
+
+def test_pw3d_driver_parity(world, pw3d_world):
+    ref, ref_eval, scratch, aist_dir, model, params, _ = world
+    pw, pw_dir = pw3d_world
+    cwd = os.getcwd()
+    os.chdir(scratch)
+    try:
+        ref_eval.evaluate_pw3d_ours(run_smplify=False, occ=False)
+    finally:
+        os.chdir(cwd)
+    pose_ref, tran_ref = torch.load(os.path.join(pw_dir, "result2.pt"),
+                                    weights_only=False)
+
+    import robustcap_tpu.config as C
+    import robustcap_tpu.eval.evaluate as E
+    saved = E.paths
+    E.paths = C.Paths(data_root=os.path.join(scratch, "data"))
+    try:
+        out = E.evaluate_pw3d_ours(run_smplify=False, occ=False,
+                                   params=params, model=model, dataset=pw,
+                                   use_cache=False)
+    finally:
+        E.paths = saved
+
+    assert len(pose_ref) == len(out["pose_p"]) == 2
+    for i in range(len(pose_ref)):
+        np.testing.assert_allclose(np.asarray(out["pose_p"][i]),
+                                   pose_ref[i].numpy(), atol=5e-4)
+        np.testing.assert_allclose(np.asarray(out["tran_p"][i]),
+                                   tran_ref[i].numpy(), atol=2e-3)
+    # metric means via the reference's own cal_mpjpe on its own results
+    errors_ref = np.stack([
+        ref_eval.cal_mpjpe(pose_ref[i],
+                           torch.from_numpy(
+                               np.asarray(out["pose_t"][i], np.float32)),
+                           cal_pampjpe=True).numpy()
+        for i in range(len(pose_ref))])
+    assert abs(out["mpjpe"] - errors_ref.mean(axis=0)[0]) < 2e-4
+    assert abs(out["pve"] - errors_ref.mean(axis=0)[1]) < 2e-4
+
+    # our evaluator consumes the reference's own 2-element result2.pt cache
+    saved = E.paths
+    E.paths = C.Paths(data_root=os.path.join(scratch, "data"))
+    try:
+        cached = E.evaluate_pw3d_ours(run_smplify=False, occ=False,
+                                      params=None, model=model, dataset=pw,
+                                      use_cache=True)
+    finally:
+        E.paths = saved
+    assert abs(cached["mpjpe"] - out["mpjpe"]) < 1e-6
+
+
 def test_result_cache_round_trips_between_implementations(world, ref_results):
     r"""Our evaluator consumes the reference's own result.pt cache file and
     reproduces its metrics (cache-format compatibility, evaluate.py:55)."""
