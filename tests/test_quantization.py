@@ -77,6 +77,31 @@ class TestQuantizeParams:
         assert R.is_quantized(qb)
         assert qb["rnn2"]["init_net"][0]["w"]["q"].dtype == jnp.int8
 
+    def test_orbax_checkpoint_round_trip(self, tmp_path):
+        # the int8 serving artifact must survive checkpointing bit-exactly
+        from robustcap_tpu.train import (load_checkpoint_orbax,
+                                         save_checkpoint_orbax)
+        qp = R.quantize_params(_params(with_init=True))
+        path = str(tmp_path / "ckpt")
+        save_checkpoint_orbax(qp, path)
+        back = load_checkpoint_orbax(path, like=qp)
+        assert R.is_quantized(back)
+        assert back["linear1"]["w"]["q"].dtype == jnp.int8
+        for a, b in zip(jax.tree.leaves(qp), jax.tree.leaves(back)):
+            assert np.array_equal(np.asarray(a), np.asarray(b))
+
+    def test_dequantize_params_dense_and_noop(self):
+        p = _params()
+        qp = R.quantize_params(p)
+        dq = R.dequantize_params(qp)
+        assert not R.is_quantized(dq)
+        assert dq["linear1"]["w"].dtype == jnp.bfloat16
+        assert R.dequantize_params(p) is p  # unquantized trees pass through
+        np.testing.assert_allclose(
+            np.asarray(dq["linear1"]["w"], np.float32),
+            np.asarray(R.dequantize_tensor(qp["linear1"]["w"],
+                                           jnp.bfloat16), np.float32))
+
 
 class TestQuantizedForward:
     def test_step_close_to_f32(self):
