@@ -114,6 +114,25 @@ def cmd_train(args):
         fn(aist_tr, aist_va, amass_tr, amass_va)
 
 
+def cmd_quantize(args):
+    r"""Produce the int8 serving artifact from a torch or pytree checkpoint
+    (docs/PERFORMANCE.md: fastest configuration in both batch and
+    single-stream regimes, 4x smaller)."""
+    import jax
+    from robustcap_tpu.nn.rnn import quantize_params
+    params = _load_params(args)
+    qp = quantize_params(params)
+    if args.out.endswith(".orbax") or args.orbax:
+        from robustcap_tpu.train import save_checkpoint_orbax
+        save_checkpoint_orbax(qp, args.out)
+    else:
+        from robustcap_tpu.train import save_pytree
+        save_pytree(qp, args.out)
+    import numpy as np
+    nbytes = sum(np.asarray(x).nbytes for x in jax.tree.leaves(qp))
+    print(json.dumps({"out": args.out, "bytes": int(nbytes)}))
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(prog="robustcap_tpu")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -150,6 +169,15 @@ def main(argv=None):
     pp.add_argument("--kinds", default="test",
                     help="comma-separated splits (aist)")
     pp.set_defaults(fn=cmd_preprocess)
+
+    pq = sub.add_parser("quantize",
+                        help="int8-quantize a checkpoint for serving")
+    pq.add_argument("--weights", required=True,
+                    help="torch .pt or pickle pytree checkpoint")
+    pq.add_argument("--out", required=True, help="output path")
+    pq.add_argument("--orbax", action="store_true",
+                    help="write an orbax checkpoint instead of a pickle")
+    pq.set_defaults(fn=cmd_quantize)
 
     pt = sub.add_parser("train", help="train fusion RNNs")
     pt.add_argument("--rnn", default="all",
