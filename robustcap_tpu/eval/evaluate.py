@@ -151,11 +151,20 @@ def evaluate_sequences(seqs, params=None, model=None, cfg=SigMPConfig(),
         if cache_path is not None:
             import torch
             os.makedirs(os.path.dirname(cache_path), exist_ok=True)
+
+            def tt(arrs):
+                # store torch tensors: the reference's cache branch applies
+                # tensor methods to the loaded entries (evaluate.py:104,122),
+                # so numpy payloads would break cross-implementation reuse
+                return [torch.from_numpy(
+                    np.ascontiguousarray(a, np.float32)) for a in arrs]
+
             if cache_format == "result2":
-                torch.save([pose_p, tran_p], cache_path)
+                torch.save([tt(pose_p), tt(tran_p)], cache_path)
             else:
-                torch.save([pose_p, [s.pose_gt for s in seqs], tran_p,
-                            [s.tran_gt for s in seqs]], cache_path)
+                torch.save([tt(pose_p), tt([s.pose_gt for s in seqs]),
+                            tt(tran_p), tt([s.tran_gt for s in seqs])],
+                           cache_path)
     pose_t = [s.pose_gt for s in seqs]
     tran_t = [s.tran_gt for s in seqs]
     errors = np.stack([

@@ -587,6 +587,8 @@ class StreamingNet:
 
             @partial(jax.jit, donate_argnums=(1,))
             def run(params, carry, frames):
+                # chunk = a scan: hoist int8 dequant like the offline paths
+                params = dequantize_params(params)
                 return jax.lax.scan(partial(step, params), carry, frames)
 
             self._chunk_fns[K] = run

@@ -64,13 +64,14 @@ def cast_params(params, dtype):
 # Weight-only W8 storage: each 2-D weight matrix is stored as a symmetric
 # per-output-channel int8 tensor ``{"q": int8 [out, in], "scale": f32
 # [out, 1]}`` and dequantized to bfloat16 at compute time. For the streaming
-# single-frame dispatch (one ``rnn_step`` per call — no loop for XLA to
-# hoist the dequant out of) this reads a quarter of the f32 bytes from HBM
-# per step; inside long scans XLA's loop-invariant code motion materializes
-# the bf16 weights once per program, so the win there is checkpoint/HBM
-# footprint (~4x), not per-step bandwidth. Biases and the quantization
-# scales stay float32. Inference-only: no gradient path is defined through
-# the rounding.
+# single-frame dispatch (one ``rnn_step`` per call — no loop to hoist the
+# dequant out of) this reads a quarter of the f32 bytes from HBM per
+# dispatch; scan paths instead call ``dequantize_params`` once BEFORE
+# ``lax.scan`` (XLA does not reliably hoist the in-loop dequant itself —
+# measured 481k vs 653.6k fps), so compiled loops run at bf16 speed and the
+# persistent win is the ~4x checkpoint/HBM footprint. Biases and the
+# quantization scales stay float32. Inference-only: no gradient path is
+# defined through the rounding.
 
 _QUANT_KEYS = ("q", "scale")
 
@@ -81,16 +82,8 @@ def _is_qtensor(x) -> bool:
 
 def is_quantized(params) -> bool:
     r"""True if ``params`` (any nesting) holds int8-quantized weights."""
-    found = False
-
-    def visit(x):
-        nonlocal found
-        if _is_qtensor(x):
-            found = True
-        return x
-
-    jax.tree.map(visit, params, is_leaf=_is_qtensor)
-    return found
+    return any(_is_qtensor(leaf)
+               for leaf in jax.tree.leaves(params, is_leaf=_is_qtensor))
 
 
 def quantize_tensor(w):
@@ -131,12 +124,13 @@ def dequantize_params(params, dtype=jnp.bfloat16):
     r"""Materialize every int8-quantized weight of a parameter tree as a
     dense ``dtype`` array; no-op for unquantized trees.
 
-    Long-scan paths call this once before ``lax.scan``: inside a scan the
-    weights are re-read from HBM every step either way, but dequantizing
-    in-loop adds ~50M VPU multiplies per step that XLA does not reliably
-    hoist. The single-frame streaming dispatch keeps int8 in-step instead —
-    there the halved HBM weight traffic is the whole win (0.22 ms vs
-    0.43 ms f32 measured, docs/PERFORMANCE.md).
+    Every scan entry point calls this once before ``lax.scan``: inside a
+    scan the weights are re-read from HBM every step either way, but
+    dequantizing in-loop adds ~50M VPU multiplies per step that XLA does
+    not reliably hoist (653.6k vs 481k fps measured). The single-frame
+    streaming dispatch (one ``rnn_step`` per call — no loop to hoist out
+    of) keeps int8 in-step, halving its per-dispatch weight reads
+    (docs/PERFORMANCE.md).
     """
     if not is_quantized(params):
         return params

@@ -340,6 +340,29 @@ def test_pw3d_driver_parity(world, pw3d_world):
     assert abs(cached["mpjpe"] - out["mpjpe"]) < 1e-6
 
 
+def test_our_cache_is_consumable_by_the_reference(world, tmp_path):
+    r"""Reverse direction: caches WE write hold torch tensors the reference's
+    cache branch can apply tensor methods to (evaluate.py:104,120-133)."""
+    import robustcap_tpu.config as C
+    import robustcap_tpu.eval.evaluate as E
+
+    ref, ref_eval, scratch, aist_dir, model, params, ds = world
+    saved = E.paths
+    E.paths = C.Paths(data_root=str(tmp_path))
+    try:
+        out = E.evaluate_aist_ours(run_smplify=False, params=params,
+                                   model=model, dataset=ds, use_cache=True)
+        cache = os.path.join(E.paths.aist_dir, "result.pt")
+    finally:
+        E.paths = saved
+    pose_p, pose_t, tran_p, tran_t = torch.load(cache, weights_only=False)
+    assert all(isinstance(x, torch.Tensor) for x in pose_p + tran_p)
+    # the reference's own metric function runs directly on our cache
+    err = ref_eval.cal_mpjpe(pose_p[0], pose_t[0], cal_pampjpe=True)
+    np.testing.assert_allclose(err.numpy(), np.asarray(out["errors"][0]),
+                               atol=2e-4)
+
+
 def test_result_cache_round_trips_between_implementations(world, ref_results):
     r"""Our evaluator consumes the reference's own result.pt cache file and
     reproduces its metrics (cache-format compatibility, evaluate.py:55)."""
