@@ -167,6 +167,11 @@ def init_carry(params, dtype=jnp.float32) -> Dict:
         # first-frame rnn6 output (sig_mp.py:156), populated by the pre-scan
         # hoist when the step runs with include_first_frame_step=False
         "pc_first": jnp.zeros((3,), dtype),
+        # first-frame rnn4 output, stashed by the pre-scan so the steady
+        # step's single rnn4 evaluation (see make_step) can substitute it
+        # on the first frame (whose real-input state advance the pre-scan
+        # has already committed)
+        "out4_first": jnp.zeros((69,), dtype),
     }
 
 
@@ -204,10 +209,21 @@ def make_step(body_model: ParametricModel, cfg: SigMPConfig,
     with semantics identical to ``Net.forward_online`` (sig_mp.py:114-274).
 
     ``include_first_frame_step=False`` builds the steady-state variant used
-    inside offline scans: the first-frame-only rnn6 step (sig_mp.py:156) is
-    hoisted out of the scan (``prescan_first_frame``), eliminating one of
-    three rnn6 cell evaluations from every time step — a pure throughput
-    optimization with identical results (verified batched-vs-streaming).
+    inside offline scans (callers MUST seed the carry with
+    ``prescan_first_frame``). Besides hoisting the first-frame-only rnn6
+    step (sig_mp.py:156) out of the scan, the steady variant evaluates the
+    two widest cells (rnn4 1280, rnn6 1024) exactly ONCE per frame: the
+    occluded-branch tail (rnn7/rnn8 + pose/translation geometry on the
+    inertial joints) is computed speculatively FIRST, which makes the
+    synthetic-landmark refeed inputs (sig_mp.py:263-271) available before
+    rnn4/rnn6 run, so their real-vs-synthetic input is a select instead of
+    a second evaluation. The speculative rnn7/rnn8/tail work is ~4x cheaper
+    than the spared rnn4/rnn6 evaluations (docs/PERFORMANCE.md). Results
+    are identical: in occluded frames the final tail recomputes exactly the
+    speculative values (same inputs, same ops), in confident frames the
+    speculation is discarded — verified by the explicit-branching oracle,
+    the golden fixture, batched-vs-streaming agreement, and frame-by-frame
+    parity with the running torch reference.
     """
     parent_clamped = jnp.asarray(body_model.tree.parent_clamped)
     ancestor = jnp.asarray(body_model.tree.ancestor_matrix)
@@ -230,59 +246,15 @@ def make_step(body_model: ParametricModel, cfg: SigMPConfig,
         pb = pb.at[0].set(0.0)
         return (ancestor[:, :, None] * pb[None, :, :]).sum(1)
 
-    def step(params, carry, frame):
-        st = carry["states"]
-        j2dc, accc, oric = frame["j2dc"], frame["accc"], frame["oric"]
+    def heads_and_tail(params, carry, frame, st, c, Rcr, accr, orir, vr,
+                       j3dr, pc, k_lerp):
+        r"""rnn7/rnn8 heads + the pose/translation/floor/landmark tail
+        (sig_mp.py:169-261). Pure: reads ``carry``, never writes it; all
+        updated values ride in the returned dict."""
+        j2dc = frame["j2dc"]
         first_frame = frame["first_frame"]
         first_tran_valid = frame["first_tran_valid"]
         gravityc = frame["gravityc"]
-
-        # -- visual confidence & root-in-camera rotation (sig_mp.py:138-139)
-        c = jnp.mean(j2dc[:, 2])
-        Rcr = oric[-1]
-
-        # -- inertial branch (sig_mp.py:142-145): rotate into root frame
-        accr = (accc[:, :, None] * Rcr[None]).sum(1)
-        orir = mat3_mul(Rcr.T[None], oric)
-        out2, st2_new = rnn_step(params["rnn2"], _cat(accr, orir), st["rnn2"])
-        j3dr_i = out2
-        out3, st3_new = rnn_step(params["rnn3"], _cat(accr, orir, j3dr_i),
-                                 st["rnn3"])
-        vr = out3
-
-        # -- visual branch (sig_mp.py:148-157): bbox-normalized keypoints.
-        # rnn4's state advances only when confident or on the first frame.
-        j2dc_norm = _bbox_center_normalize(j2dc)
-        vis_ran = (c > conf_lo) | first_frame
-        out4, st4_new = rnn_step(params["rnn4"], _cat(accc, oric, j2dc_norm),
-                                 st["rnn4"])
-        st4_mid = _masked_state(vis_ran, st4_new, st["rnn4"])
-        j3dc = out4
-        j3dr_v = (j3dc.reshape(23, 3)[:, :, None] * Rcr[None]).sum(1)
-
-        # rnn6 can step twice on a first frame (sig_mp.py:156 then :161/165)
-        in6 = _cat(accc, oric, j2dc, j3dc)
-        conf_vis = c > conf_lo
-        if include_first_frame_step:
-            out6_a, st6_a = rnn_step(params["rnn6"], in6, st["rnn6"])
-            st6_mid = _masked_state(first_frame, st6_a, st["rnn6"])
-            pc_first = out6_a.reshape(3)
-        else:
-            # hoisted: carry['states']['rnn6'] was already advanced by the
-            # first-frame step pre-scan; its output rides in pc_first
-            st6_mid = st["rnn6"]
-            pc_first = carry["pc_first"]
-        out6_b, st6_b = rnn_step(params["rnn6"], in6, st6_mid)
-        st6_after = _masked_state(conf_vis, st6_b, st6_mid)
-        pc = jnp.where(conf_vis, out6_b.reshape(3), pc_first)
-
-        # -- confidence-gated lerp (sig_mp.py:159-167)
-        k_lerp = jnp.clip((c - conf_lo) * inv_range, 0.0, 1.0)
-        j3dr = jnp.where(
-            c >= conf_hi, j3dr_v.reshape(-1),
-            jnp.where(c > conf_lo,
-                      M.lerp(j3dr_i.reshape(-1), j3dr_v.reshape(-1), k_lerp),
-                      j3dr_i.reshape(-1)))
 
         # -- heads (sig_mp.py:169-170)
         out7, st7_new = rnn_step(params["rnn7"], _cat(accr, orir, j3dr),
@@ -295,17 +267,6 @@ def make_step(body_model: ParametricModel, cfg: SigMPConfig,
         poseg = M.r6d_to_rotation_matrix(out7).reshape(24, 3, 3)
         pose = M.inverse_kinematics_R(poseg[None], body_model.tree)[0]
         pose = pose.at[0].set(Rcr)
-
-        # -- one-shot inertial hidden-state re-init from vision
-        # (sig_mp.py:178-183)
-        if cfg.use_imu_updater:
-            iu_cond = (c >= conf_hi) & carry["first_reach"]
-            h_i, c_i = init_net_apply(params["rnn2"], j3dr[None, :])
-            st2_final = _masked_state(iu_cond, (h_i[:, 0], c_i[:, 0]), st2_new)
-            first_reach = carry["first_reach"] & ~(c >= conf_hi)
-        else:
-            st2_final = st2_new
-            first_reach = carry["first_reach"]
 
         # -- translation from contacts / network velocity (sig_mp.py:186-194)
         p_all = light_fk(poseg)
@@ -414,39 +375,162 @@ def make_step(body_model: ParametricModel, cfg: SigMPConfig,
             tran = jnp.where(do_opt, tran + d_z, tran)
             j_lm = jnp.where(do_opt, j_lm + d_z, j_lm)
 
-        # -- occluded-frame hidden-state refeed of rnn6/rnn4 with synthetic
-        # keypoints (sig_mp.py:263-271)
-        if cfg.use_vision_updater:
-            vu_cond = c <= conf_lo
-            if cfg.live:
-                vu_cond = vu_cond & (vision_count == cfg.update_vision_freq)
-            j2dc_syn = j_lm / j_lm[:, 2:]
-            j3dc_syn = joint[1:] - joint[:1]
-            _, st6_syn = rnn_step(params["rnn6"],
-                                  _cat(accc, oric, j2dc_syn, j3dc_syn),
-                                  st6_after)
-            st6_final = _masked_state(vu_cond, st6_syn, st6_after)
-            j2dc_syn = _bbox_center_normalize(j2dc_syn)
-            _, st4_syn = rnn_step(params["rnn4"], _cat(accc, oric, j2dc_syn),
-                                  st4_mid)
-            st4_final = _masked_state(vu_cond, st4_syn, st4_mid)
-        else:
-            st6_final = st6_after
-            st4_final = st4_mid
+        return {"st7_new": st7_new, "st8_new": st8_new, "contact": contact,
+                "pose": pose, "tran": tran, "pfoot": pfoot,
+                "floor_buf": floor_buf, "floor_cnt": floor_cnt,
+                "vision_count": vision_count, "j_temp": j_temp,
+                "joint": joint, "j_lm": j_lm}
 
+    def gate(c, j3dr_i, j3dr_v, k_lerp):
+        # confidence-gated lerp (sig_mp.py:159-167)
+        return jnp.where(
+            c >= conf_hi, j3dr_v.reshape(-1),
+            jnp.where(c > conf_lo,
+                      M.lerp(j3dr_i.reshape(-1), j3dr_v.reshape(-1), k_lerp),
+                      j3dr_i.reshape(-1)))
+
+    def step(params, carry, frame):
+        st = carry["states"]
+        j2dc, accc, oric = frame["j2dc"], frame["accc"], frame["oric"]
+        first_frame = frame["first_frame"]
+
+        # -- visual confidence & root-in-camera rotation (sig_mp.py:138-139)
+        c = jnp.mean(j2dc[:, 2])
+        Rcr = oric[-1]
+        conf_vis = c > conf_lo
+        k_lerp = jnp.clip((c - conf_lo) * inv_range, 0.0, 1.0)
+
+        # -- inertial branch (sig_mp.py:142-145): rotate into root frame
+        accr = (accc[:, :, None] * Rcr[None]).sum(1)
+        orir = mat3_mul(Rcr.T[None], oric)
+        out2, st2_new = rnn_step(params["rnn2"], _cat(accr, orir), st["rnn2"])
+        j3dr_i = out2
+        out3, st3_new = rnn_step(params["rnn3"], _cat(accr, orir, j3dr_i),
+                                 st["rnn3"])
+        vr = out3
+
+        j2dc_norm = _bbox_center_normalize(j2dc)
+
+        if include_first_frame_step:
+            # ---- streaming variant: the reference's literal structure ----
+            # (two rnn4/rnn6 evaluations when the vision updater fires)
+            vis_ran = conf_vis | first_frame
+            out4, st4_new = rnn_step(params["rnn4"],
+                                     _cat(accc, oric, j2dc_norm), st["rnn4"])
+            st4_mid = _masked_state(vis_ran, st4_new, st["rnn4"])
+            j3dc = out4
+            j3dr_v = (j3dc.reshape(23, 3)[:, :, None] * Rcr[None]).sum(1)
+
+            # rnn6 can step twice on a first frame (sig_mp.py:156 then :161)
+            in6 = _cat(accc, oric, j2dc, j3dc)
+            out6_a, st6_a = rnn_step(params["rnn6"], in6, st["rnn6"])
+            st6_mid = _masked_state(first_frame, st6_a, st["rnn6"])
+            pc_first = out6_a.reshape(3)
+            out6_b, st6_b = rnn_step(params["rnn6"], in6, st6_mid)
+            st6_after = _masked_state(conf_vis, st6_b, st6_mid)
+            pc = jnp.where(conf_vis, out6_b.reshape(3), pc_first)
+
+            j3dr = gate(c, j3dr_i, j3dr_v, k_lerp)
+            T = heads_and_tail(params, carry, frame, st, c, Rcr, accr, orir,
+                               vr, j3dr, pc, k_lerp)
+
+            # -- occluded-frame hidden-state refeed of rnn6/rnn4 with
+            # synthetic keypoints (sig_mp.py:263-271)
+            if cfg.use_vision_updater:
+                vu_cond = c <= conf_lo
+                if cfg.live:
+                    vu_cond = vu_cond & (
+                        T["vision_count"] == cfg.update_vision_freq)
+                j2dc_syn = T["j_lm"] / T["j_lm"][:, 2:]
+                j3dc_syn = T["joint"][1:] - T["joint"][:1]
+                _, st6_syn = rnn_step(params["rnn6"],
+                                      _cat(accc, oric, j2dc_syn, j3dc_syn),
+                                      st6_after)
+                st6_final = _masked_state(vu_cond, st6_syn, st6_after)
+                j2dc_syn = _bbox_center_normalize(j2dc_syn)
+                _, st4_syn = rnn_step(params["rnn4"],
+                                      _cat(accc, oric, j2dc_syn), st4_mid)
+                st4_final = _masked_state(vu_cond, st4_syn, st4_mid)
+            else:
+                st6_final = st6_after
+                st4_final = st4_mid
+            out4_first = carry["out4_first"]
+        else:
+            # ---- steady variant (post-prescan): single rnn4/rnn6 evals ----
+            pc_first = carry["pc_first"]
+            if cfg.use_vision_updater:
+                # speculative occluded tail: when occluded, the fused joints
+                # are the inertial ones and pc rides pc_first, so the whole
+                # downstream (rnn7/rnn8, pose, translation, landmarks) is
+                # computable BEFORE rnn4/rnn6 — bit-identical to what the
+                # final tail recomputes in that case.
+                T_spec = heads_and_tail(params, carry, frame, st, c, Rcr,
+                                        accr, orir, vr,
+                                        j3dr_i.reshape(-1), pc_first, k_lerp)
+                vu_cond = c <= conf_lo
+                if cfg.live:
+                    vu_cond = vu_cond & (
+                        T_spec["vision_count"] == cfg.update_vision_freq)
+                j2dc_syn = T_spec["j_lm"] / T_spec["j_lm"][:, 2:]
+                j3dc_syn = T_spec["joint"][1:] - T_spec["joint"][:1]
+                syn6_in = _cat(accc, oric, j2dc_syn, j3dc_syn)
+                syn4_in = _cat(accc, oric, _bbox_center_normalize(j2dc_syn))
+            else:
+                vu_cond = jnp.asarray(False)
+                syn6_in = syn4_in = None
+
+            # single rnn4 evaluation; real input unless refeeding. The
+            # first-frame real advance/output live in the prescan carry.
+            real4_in = _cat(accc, oric, j2dc_norm)
+            in4 = (real4_in if syn4_in is None
+                   else jnp.where(vu_cond, syn4_in, real4_in))
+            out4_eval, st4_eval = rnn_step(params["rnn4"], in4, st["rnn4"])
+            out4_eff = jnp.where(first_frame, carry["out4_first"], out4_eval)
+            st4_final = _masked_state((conf_vis & ~first_frame) | vu_cond,
+                                      st4_eval, st["rnn4"])
+            j3dr_v = (out4_eff.reshape(23, 3)[:, :, None] * Rcr[None]).sum(1)
+
+            # single rnn6 evaluation (first-frame extra step pre-scanned)
+            in6_real = _cat(accc, oric, j2dc, out4_eff)
+            in6 = (in6_real if syn6_in is None
+                   else jnp.where(vu_cond, syn6_in, in6_real))
+            out6_eval, st6_eval = rnn_step(params["rnn6"], in6, st["rnn6"])
+            st6_final = _masked_state(conf_vis | vu_cond, st6_eval,
+                                      st["rnn6"])
+            pc = jnp.where(conf_vis, out6_eval.reshape(3), pc_first)
+
+            j3dr = gate(c, j3dr_i, j3dr_v, k_lerp)
+            T = heads_and_tail(params, carry, frame, st, c, Rcr, accr, orir,
+                               vr, j3dr, pc, k_lerp)
+            out4_first = carry["out4_first"]
+
+        # -- one-shot inertial hidden-state re-init from vision
+        # (sig_mp.py:178-183)
+        if cfg.use_imu_updater:
+            iu_cond = (c >= conf_hi) & carry["first_reach"]
+            h_i, c_i = init_net_apply(params["rnn2"], j3dr[None, :])
+            st2_final = _masked_state(iu_cond, (h_i[:, 0], c_i[:, 0]), st2_new)
+            first_reach = carry["first_reach"] & ~(c >= conf_hi)
+        else:
+            st2_final = st2_new
+            first_reach = carry["first_reach"]
+
+        pose, tran, contact = T["pose"], T["tran"], T["contact"]
         new_carry = {
             "states": {"rnn2": st2_final, "rnn3": st3_new, "rnn4": st4_final,
-                       "rnn6": st6_final, "rnn7": st7_new, "rnn8": st8_new},
-            "last_pfoot": pfoot,
+                       "rnn6": st6_final, "rnn7": T["st7_new"],
+                       "rnn8": T["st8_new"]},
+            "last_pfoot": T["pfoot"],
             "has_pfoot": jnp.asarray(True),
             "last_tran": tran,
             "has_tran": jnp.asarray(True),
-            "floor_buf": floor_buf,
-            "floor_cnt": floor_cnt,
+            "floor_buf": T["floor_buf"],
+            "floor_cnt": T["floor_cnt"],
             "first_reach": first_reach,
-            "vision_count": vision_count,
-            "j_temp": j_temp,
+            "vision_count": T["vision_count"],
+            "j_temp": T["j_temp"],
             "pc_first": pc_first,
+            "out4_first": out4_first,
         }
         if output_contacts:
             return new_carry, (pose, tran, contact)
@@ -456,22 +540,29 @@ def make_step(body_model: ParametricModel, cfg: SigMPConfig,
 
 
 def prescan_first_frame(params, body_model: ParametricModel, carry, frame0):
-    r"""Hoisted first-frame rnn6 step (sig_mp.py:156): advance rnn6's state
-    on the first frame's raw inputs and stash its output in the carry, so the
-    in-scan steady step (``include_first_frame_step=False``) never evaluates
-    the first-frame-only cell."""
+    r"""Hoisted first-frame rnn4/rnn6 work (sig_mp.py:148-156): on the first
+    frame the reference's visual branch always runs (``c > occ or
+    first_frame``), so rnn4's real-input state advance is committed here and
+    its output stashed; rnn6's first-frame-only extra step (sig_mp.py:156)
+    advances its state and stashes ``pc_first``. The in-scan steady step
+    (``include_first_frame_step=False``) then evaluates each of rnn4/rnn6
+    exactly once per frame."""
     j2dc, accc, oric = frame0["j2dc"], frame0["accc"], frame0["oric"]
     j2dc_norm = _bbox_center_normalize(j2dc)
-    out4, _ = rnn_step(params["rnn4"], _cat(accc, oric, j2dc_norm),
-                       carry["states"]["rnn4"])
+    out4, st4 = rnn_step(params["rnn4"], _cat(accc, oric, j2dc_norm),
+                         carry["states"]["rnn4"])
     out6, st6 = rnn_step(params["rnn6"], _cat(accc, oric, j2dc, out4),
                          carry["states"]["rnn6"])
     first = frame0["first_frame"]
+    st4_new = _masked_state(first, st4, carry["states"]["rnn4"])
     st6_new = _masked_state(first, st6, carry["states"]["rnn6"])
     carry = dict(carry)
     carry["states"] = dict(carry["states"])
+    carry["states"]["rnn4"] = st4_new
     carry["states"]["rnn6"] = st6_new
     carry["pc_first"] = jnp.where(first, out6.reshape(3), carry["pc_first"])
+    carry["out4_first"] = jnp.where(first, out4.reshape(-1),
+                                    carry["out4_first"])
     return carry
 
 
