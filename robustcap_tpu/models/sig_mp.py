@@ -647,13 +647,21 @@ class StreamingNet:
         self.params = params
         self.cfg = cfg
         self.body_model = body_model
-        step = make_step(body_model, cfg)
+        # the steady single-eval step (each wide cell once per frame);
+        # first-frame work is host-dispatched to the jitted prescan exactly
+        # like forward_offline, so per-frame dispatches stay cheap
+        step = make_step(body_model, cfg, include_first_frame_step=False)
 
         @partial(jax.jit, donate_argnums=(1,))
         def _step(params, carry, frame):
             return step(params, carry, frame)
 
+        @partial(jax.jit, donate_argnums=(1,))
+        def _prescan(params, carry, frame):
+            return prescan_first_frame(params, body_model, carry, frame)
+
         self._step = _step
+        self._prescan = _prescan
         self.carry = init_carry(params)
 
     def reset_states(self):
@@ -662,6 +670,8 @@ class StreamingNet:
     def forward_online(self, j2dc, accc, oric, first_tran=None,
                        first_frame=False, gravityc=None):
         frame = make_frame(j2dc, accc, oric, first_tran, first_frame, gravityc)
+        if first_frame:
+            self.carry = self._prescan(self.params, self.carry, frame)
         self.carry, (pose, tran) = self._step(self.params, self.carry, frame)
         return pose, tran
 
@@ -674,7 +684,10 @@ class StreamingNet:
         if not hasattr(self, "_chunk_fns"):
             self._chunk_fns = {}
         if K not in self._chunk_fns:
-            step = make_step(self.body_model, self.cfg)
+            # chunk frames never carry first-frame flags (set False below),
+            # so the steady single-eval variant applies directly
+            step = make_step(self.body_model, self.cfg,
+                             include_first_frame_step=False)
 
             @partial(jax.jit, donate_argnums=(1,))
             def run(params, carry, frames):

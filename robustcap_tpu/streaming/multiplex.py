@@ -33,14 +33,26 @@ class StreamingMultiplexer:
         self.params = params
         self.cfg = cfg or SigMPConfig.live_mode()
         self.capacity = capacity
-        step = sig_mp.make_step(body_model, self.cfg)
+        # steady single-eval step for every tick; first-frame work runs in a
+        # vmapped prescan dispatched only on ticks where some slot starts a
+        # session (prescan_first_frame is masked per-row on frame["first_frame"])
+        step = sig_mp.make_step(body_model, self.cfg,
+                                include_first_frame_step=False)
 
         @partial(jax.jit, donate_argnums=(1,))
         def step_all(params, carries, frames):
             return jax.vmap(lambda c, f: step(params, c, f),
                             in_axes=(0, 0))(carries, frames)
 
+        @partial(jax.jit, donate_argnums=(1,))
+        def prescan_all(params, carries, frames):
+            return jax.vmap(
+                lambda c, f: sig_mp.prescan_first_frame(
+                    params, body_model, c, f),
+                in_axes=(0, 0))(carries, frames)
+
         self._step_all = step_all
+        self._prescan_all = prescan_all
         single = sig_mp.init_carry(params)
         self._fresh = single
         self.carries = jax.tree.map(
@@ -91,6 +103,9 @@ class StreamingMultiplexer:
                 if gravityc is None
                 else jnp.asarray(gravityc, jnp.float32).reshape(N, 3)),
         }
+        if first_frame is not None and np.any(first_frame):
+            self.carries = self._prescan_all(self.params, self.carries,
+                                             frames)
         self.carries, (pose, tran) = self._step_all(self.params,
                                                     self.carries, frames)
         return np.asarray(pose), np.asarray(tran)

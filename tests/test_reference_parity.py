@@ -214,8 +214,9 @@ def test_forward_online_parity_live_throttle(ref, net_and_params, body_model):
 
 def test_streaming_net_matches_reference_per_frame(ref, net_and_params,
                                                    body_model):
-    r"""The stateful per-frame StreamingNet wrapper (jitted single step with
-    include_first_frame_step=True) against the reference, frame by frame."""
+    r"""The stateful per-frame StreamingNet wrapper (steady single-eval step;
+    first-frame work host-dispatched to the jitted prescan) against the
+    reference, frame by frame."""
     net, params = net_and_params
     T = 16
     conf = RAMP[:T]
@@ -228,6 +229,36 @@ def test_streaming_net_matches_reference_per_frame(ref, net_and_params,
             first_tran=[0.0, 0.0, 3.0] if t == 0 else None)
         np.testing.assert_allclose(np.asarray(p), rp[t], atol=POSE_TOL)
         np.testing.assert_allclose(np.asarray(tr), rt[t], atol=TRAN_TOL)
+
+
+def test_streaming_net_first_frame_and_reset(ref, net_and_params, body_model):
+    r"""StreamingNet with first_frame=True (TC-eval style, sig_mp.py:148-156:
+    the prescan commits rnn4/rnn6's first-frame advances) on a low-confidence
+    start, then reset_states + a first_tran sequence on the same instance."""
+    net, params = net_and_params
+    T = 16
+    conf = np.concatenate([np.full(4, 0.3), np.full(6, 0.95), np.full(6, 0.75)])
+    j2dc, accc, oric = _make_inputs(T, conf, seed=33)
+    rp, rt = _run_reference(net, j2dc, accc, oric, first_frame=True)
+    snet = jx.StreamingNet(params, body_model)
+    for t in range(T):
+        p, tr = snet.forward_online(j2dc[t], accc[t], oric[t],
+                                    first_frame=(t == 0))
+        np.testing.assert_allclose(np.asarray(p), rp[t], atol=POSE_TOL,
+                                   err_msg=f"pose t={t}")
+        np.testing.assert_allclose(np.asarray(tr), rt[t], atol=TRAN_TOL,
+                                   err_msg=f"tran t={t}")
+
+    snet.reset_states()
+    rp2, rt2 = _run_reference(net, j2dc, accc, oric, first_tran=[0.1, 0.2, 3.0])
+    for t in range(T):
+        p, tr = snet.forward_online(
+            j2dc[t], accc[t], oric[t],
+            first_tran=[0.1, 0.2, 3.0] if t == 0 else None)
+        np.testing.assert_allclose(np.asarray(p), rp2[t], atol=POSE_TOL,
+                                   err_msg=f"pose t={t}")
+        np.testing.assert_allclose(np.asarray(tr), rt2[t], atol=TRAN_TOL,
+                                   err_msg=f"tran t={t}")
 
 
 # ---------------------------------------------------------------------------
