@@ -116,8 +116,8 @@ def cmd_train(args):
 
 def cmd_quantize(args):
     r"""Produce the int8 serving artifact from a torch or pytree checkpoint
-    (docs/PERFORMANCE.md: fastest configuration in both batch and
-    single-stream regimes, 4x smaller)."""
+    (docs/PERFORMANCE.md: 4x smaller weights at bf16-comparable speed —
+    bf16 remains the fastest measured configuration)."""
     import jax
     from robustcap_tpu.nn.rnn import quantize_params
     params = _load_params(args)

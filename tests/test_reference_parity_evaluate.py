@@ -12,6 +12,7 @@ Everything below the driver was already parity-tested piecewise
 same weights -> same published numbers.
 """
 
+import contextlib
 import os
 
 import numpy as np
@@ -29,6 +30,25 @@ from robustcap_tpu.smpl.model import ParametricModel
 
 N_SEQ, T, N_CAM = 1, 16, 9  # T must exceed the fixture's smoothing kernel
 EXCLUDED = "synth_seq_0_c03"      # exercises the not_aligned filter
+
+
+def tt(x):
+    r"""Fixture payloads as float32 torch tensors (the .pt dataset dtype)."""
+    return torch.from_numpy(np.ascontiguousarray(x, np.float32))
+
+
+@contextlib.contextmanager
+def our_paths(data_root):
+    r"""Point our evaluate module at ``data_root`` for the block's duration."""
+    import robustcap_tpu.config as C
+    import robustcap_tpu.eval.evaluate as E
+
+    saved = E.paths
+    E.paths = C.Paths(data_root=data_root)
+    try:
+        yield E
+    finally:
+        E.paths = saved
 
 
 @pytest.fixture(scope="module")
@@ -53,9 +73,6 @@ def world():
     ds = build_fixture_dataset(model, n_seq=N_SEQ, T=T, n_cam=N_CAM, seed=3)
     aist_dir = os.path.join(scratch, "data", "dataset_work", "AIST")
     os.makedirs(aist_dir, exist_ok=True)
-
-    def tt(x):
-        return torch.from_numpy(np.ascontiguousarray(x, np.float32))
 
     ds_t = {
         "name": list(ds["name"]),
@@ -112,17 +129,10 @@ def ref_results(world):
 
 @pytest.fixture(scope="module")
 def our_results(world):
-    import robustcap_tpu.config as C
-    import robustcap_tpu.eval.evaluate as E
-
     ref, ref_eval, scratch, aist_dir, model, params, ds = world
-    saved = E.paths
-    E.paths = C.Paths(data_root=os.path.join(scratch, "data"))
-    try:
+    with our_paths(os.path.join(scratch, "data")) as E:
         out = E.evaluate_aist_ours(run_smplify=False, params=params,
                                    model=model, dataset=ds, use_cache=False)
-    finally:
-        E.paths = saved
     return out
 
 
@@ -188,9 +198,6 @@ def tc_world(world):
     tc_dir = os.path.join(scratch, "data", "dataset_work", "TotalCapture")
     os.makedirs(tc_dir, exist_ok=True)
 
-    def tt(x):
-        return torch.from_numpy(np.ascontiguousarray(x, np.float32))
-
     ds_t = {
         "name": list(tc["name"]),
         "pose": [tt(p) for p in tc["pose"]],
@@ -225,15 +232,9 @@ def test_tc_driver_parity(world, tc_world):
     errors_ref = torch.load(os.path.join(tc_dir, "error.pt"),
                             weights_only=False).numpy()
 
-    import robustcap_tpu.config as C
-    import robustcap_tpu.eval.evaluate as E
-    saved = E.paths
-    E.paths = C.Paths(data_root=os.path.join(scratch, "data"))
-    try:
+    with our_paths(os.path.join(scratch, "data")) as E:
         out = E.evaluate_tc_ours(run_smplify=False, params=params,
                                  model=model, dataset=tc, use_cache=False)
-    finally:
-        E.paths = saved
 
     assert len(pose_ref) == len(out["pose_p"]) == N_SEQ * 8
     for i in range(len(pose_ref)):
@@ -270,9 +271,6 @@ def pw3d_world(world):
     pw_dir = os.path.join(scratch, "data", "dataset_work", "3DPW")
     os.makedirs(pw_dir, exist_ok=True)
 
-    def tt(x):
-        return torch.from_numpy(np.ascontiguousarray(x, np.float32))
-
     ds_t = {
         "posec": [tt(p) for p in pw["posec"]],
         "tranc": [tt(t) for t in pw["tranc"]],
@@ -301,16 +299,10 @@ def test_pw3d_driver_parity(world, pw3d_world):
     pose_ref, tran_ref = torch.load(os.path.join(pw_dir, "result2.pt"),
                                     weights_only=False)
 
-    import robustcap_tpu.config as C
-    import robustcap_tpu.eval.evaluate as E
-    saved = E.paths
-    E.paths = C.Paths(data_root=os.path.join(scratch, "data"))
-    try:
+    with our_paths(os.path.join(scratch, "data")) as E:
         out = E.evaluate_pw3d_ours(run_smplify=False, occ=False,
                                    params=params, model=model, dataset=pw,
                                    use_cache=False)
-    finally:
-        E.paths = saved
 
     assert len(pose_ref) == len(out["pose_p"]) == 2
     for i in range(len(pose_ref)):
@@ -329,32 +321,21 @@ def test_pw3d_driver_parity(world, pw3d_world):
     assert abs(out["pve"] - errors_ref.mean(axis=0)[1]) < 2e-4
 
     # our evaluator consumes the reference's own 2-element result2.pt cache
-    saved = E.paths
-    E.paths = C.Paths(data_root=os.path.join(scratch, "data"))
-    try:
+    with our_paths(os.path.join(scratch, "data")) as E:
         cached = E.evaluate_pw3d_ours(run_smplify=False, occ=False,
                                       params=None, model=model, dataset=pw,
                                       use_cache=True)
-    finally:
-        E.paths = saved
     assert abs(cached["mpjpe"] - out["mpjpe"]) < 1e-6
 
 
 def test_our_cache_is_consumable_by_the_reference(world, tmp_path):
     r"""Reverse direction: caches WE write hold torch tensors the reference's
     cache branch can apply tensor methods to (evaluate.py:104,120-133)."""
-    import robustcap_tpu.config as C
-    import robustcap_tpu.eval.evaluate as E
-
     ref, ref_eval, scratch, aist_dir, model, params, ds = world
-    saved = E.paths
-    E.paths = C.Paths(data_root=str(tmp_path))
-    try:
+    with our_paths(str(tmp_path)) as E:
         out = E.evaluate_aist_ours(run_smplify=False, params=params,
                                    model=model, dataset=ds, use_cache=True)
         cache = os.path.join(E.paths.aist_dir, "result.pt")
-    finally:
-        E.paths = saved
     pose_p, pose_t, tran_p, tran_t = torch.load(cache, weights_only=False)
     assert all(isinstance(x, torch.Tensor) for x in pose_p + tran_p)
     # the reference's own metric function runs directly on our cache
@@ -366,17 +347,10 @@ def test_our_cache_is_consumable_by_the_reference(world, tmp_path):
 def test_result_cache_round_trips_between_implementations(world, ref_results):
     r"""Our evaluator consumes the reference's own result.pt cache file and
     reproduces its metrics (cache-format compatibility, evaluate.py:55)."""
-    import robustcap_tpu.config as C
-    import robustcap_tpu.eval.evaluate as E
-
     ref, ref_eval, scratch, aist_dir, model, params, ds = world
-    saved = E.paths
-    E.paths = C.Paths(data_root=os.path.join(scratch, "data"))
-    try:
+    with our_paths(os.path.join(scratch, "data")) as E:
         out = E.evaluate_aist_ours(run_smplify=False, params=None,
                                    model=model, dataset=ds, use_cache=True)
-    finally:
-        E.paths = saved
     errors_ref = ref_results[4]
     np.testing.assert_allclose(np.asarray(out["errors"]), errors_ref,
                                atol=2e-4)
