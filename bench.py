@@ -74,13 +74,19 @@ def main():
     model = ParametricModel(data=synthetic_smpl_data())
     params = sig_mp.init_params(jax.random.PRNGKey(0))  # full-size bank
     bench_dtype = os.environ.get("BENCH_DTYPE", "f32")
+    cfg = SigMPConfig()
     if bench_dtype in ("bf16", "bfloat16"):
         from robustcap_tpu.nn.rnn import cast_params
         params = cast_params(params, jnp.bfloat16)
     elif bench_dtype == "int8":
         from robustcap_tpu.nn.rnn import quantize_params
         params = quantize_params(params)
-    cfg = SigMPConfig()
+    elif bench_dtype == "int8c":
+        # int8-MXU compute mode: weights stay int8 in-loop, activations
+        # dynamically quantized per row (approximate serving mode)
+        from robustcap_tpu.nn.rnn import quantize_params
+        params = quantize_params(params)
+        cfg = SigMPConfig(int8_compute=True)
 
     rng = np.random.RandomState(0)
     j2dc = (rng.randn(B, T, 33, 3) * 0.1).astype(np.float32)
@@ -116,6 +122,20 @@ def main():
         jax.block_until_ready(batched(params, frames))
     dt = (time.perf_counter() - t0) / reps
     batched_fps = B * T / dt
+
+    # -- int8-MXU serving mode (approximate; docs/PERFORMANCE.md) ----------
+    int8c_fps = None
+    if bench_dtype == "f32" and os.environ.get("BENCH_INT8C", "1") != "0":
+        from robustcap_tpu.nn.rnn import quantize_params
+        qparams = quantize_params(params)
+        qcfg = SigMPConfig(int8_compute=True)
+        qbatched = jax.jit(
+            lambda p, f: sig_mp.forward_offline_batched(p, model, qcfg, f))
+        jax.block_until_ready(qbatched(qparams, frames))
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            jax.block_until_ready(qbatched(qparams, frames))
+        int8c_fps = B * T / ((time.perf_counter() - t0) / reps)
 
     # -- on-device streaming step latency (B=1), RTT-free by differencing --
     one_k = make_frames(1, K)
@@ -192,6 +212,8 @@ def main():
             "tunnel_per_dispatch_p50_ms": round(tunnel_p50_ms, 3),
             "smplify_refine_fps": (None if smplify_fps is None
                                    else round(smplify_fps, 1)),
+            "int8c_fps": (None if int8c_fps is None else round(int8c_fps, 1)),
+            "serving_dtype": bench_dtype,
             "batch": B, "frames": T,
             "device": str(jax.devices()[0]),
         },

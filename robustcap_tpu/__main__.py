@@ -53,7 +53,14 @@ def cmd_latency(args):
     from robustcap_tpu.smpl import default_body_model
     from robustcap_tpu.streaming import measure_streaming_latency
     params = _load_params(args)
-    stats = measure_streaming_latency(params, default_body_model(),
+    cfg = None
+    if getattr(args, "int8_compute", False):
+        import dataclasses
+        from robustcap_tpu.config import SigMPConfig
+        from robustcap_tpu.nn.rnn import quantize_params
+        params = quantize_params(params)
+        cfg = dataclasses.replace(SigMPConfig.live_mode(), int8_compute=True)
+    stats = measure_streaming_latency(params, default_body_model(), cfg=cfg,
                                       n_frames=args.frames,
                                       trace_dir=args.trace_dir)
     print(json.dumps(stats))
@@ -150,6 +157,9 @@ def main(argv=None):
     pl.add_argument("--weights")
     pl.add_argument("--frames", type=int, default=600)
     pl.add_argument("--trace-dir")
+    pl.add_argument("--int8-compute", action="store_true",
+                    help="approximate int8-MXU serving mode (quantizes the "
+                         "weights if the checkpoint is not already int8)")
     pl.set_defaults(fn=cmd_latency)
 
     ps = sub.add_parser("live-server", help="live inference server")

@@ -188,6 +188,10 @@ class SigMPConfig:
     live: bool = False
     update_vision_freq: int = 30
     name: str = "sig_mp"
+    # approximate int8 serving mode: gate matmuls on the int8 MXU with
+    # dynamic per-row activation quantization (requires quantize_params
+    # weights; see nn/rnn.py). Off for every parity/eval profile.
+    int8_compute: bool = False
 
     @staticmethod
     def offline() -> "SigMPConfig":

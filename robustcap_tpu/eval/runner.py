@@ -65,7 +65,8 @@ def _make_batched_fn(body_model: ParametricModel, cfg: SigMPConfig,
     def run_one(params, frames):
         frame0 = jax.tree.map(lambda x: x[0], frames)
         carry = sig_mp.prescan_first_frame(
-            params, body_model, sig_mp.init_carry(params), frame0)
+            params, body_model, sig_mp.init_carry(params), frame0,
+            int8_compute=cfg.int8_compute)
         _, out = jax.lax.scan(partial(step, params), carry, frames)
         return out
 

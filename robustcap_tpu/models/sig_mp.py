@@ -42,7 +42,8 @@ from .. import math as M
 from ..math.spatial import mat3_mul
 from ..config import (IMU_JOINT_MASK, MP_VERTEX_MASK, SigMPConfig, VEL_SCALE)
 from ..nn.rnn import (dequantize_params, init_net_apply, init_rnn_params,
-                      init_state, rnn_params_from_torch, rnn_step)
+                      init_state, rnn_params_from_torch)
+from ..nn.rnn import rnn_step as _rnn_step
 from ..smpl.model import ParametricModel
 
 __all__ = [
@@ -237,6 +238,9 @@ def make_step(body_model: ParametricModel, cfg: SigMPConfig,
     j0 = body_model._zero_pose_joint
     conf_lo, conf_hi = cfg.conf_range
     inv_range = 1.0 / (conf_hi - conf_lo)
+    # cfg.int8_compute routes every cell through the int8-MXU gate matmuls
+    # (dynamic activation quantization; requires quantize_params weights)
+    rnn_step = partial(_rnn_step, int8_compute=cfg.int8_compute)
 
     def light_fk(glb_pose):
         r"""Joint positions from *global* rotations via bone vectors
@@ -539,7 +543,8 @@ def make_step(body_model: ParametricModel, cfg: SigMPConfig,
     return step
 
 
-def prescan_first_frame(params, body_model: ParametricModel, carry, frame0):
+def prescan_first_frame(params, body_model: ParametricModel, carry, frame0,
+                        int8_compute: bool = False):
     r"""Hoisted first-frame rnn4/rnn6 work (sig_mp.py:148-156): on the first
     frame the reference's visual branch always runs (``c > occ or
     first_frame``), so rnn4's real-input state advance is committed here and
@@ -547,6 +552,7 @@ def prescan_first_frame(params, body_model: ParametricModel, carry, frame0):
     advances its state and stashes ``pc_first``. The in-scan steady step
     (``include_first_frame_step=False``) then evaluates each of rnn4/rnn6
     exactly once per frame."""
+    rnn_step = partial(_rnn_step, int8_compute=int8_compute)
     j2dc, accc, oric = frame0["j2dc"], frame0["accc"], frame0["oric"]
     j2dc_norm = _bbox_center_normalize(j2dc)
     out4, st4 = rnn_step(params["rnn4"], _cat(accc, oric, j2dc_norm),
@@ -606,14 +612,15 @@ def forward_offline(params, body_model, cfg, j2dc, accc, oric,
     foot-contact probabilities [T, 2] are returned too (the head the
     reference computes but never exposes, sig_mp.py:170).
     """
-    params = dequantize_params(params)  # long scan: hoist int8 dequant
+    if not cfg.int8_compute:
+        params = dequantize_params(params)  # long scan: hoist int8 dequant
     step = make_step(body_model, cfg, include_first_frame_step=False,
                      output_contacts=return_contacts)
     frames = _sequence_frames(j2dc, accc, oric, first_tran, first_frame,
                               gravityc)
     frame0 = jax.tree.map(lambda x: x[0], frames)
     carry = prescan_first_frame(params, body_model, init_carry(params),
-                                frame0)
+                                frame0, int8_compute=cfg.int8_compute)
     _, out = jax.lax.scan(partial(step, params), carry, frames)
     return out
 
@@ -624,13 +631,14 @@ def forward_offline_batched(params, body_model, cfg, frames_batched,
     pytrees [B, T, ...]. Padded frames still execute (static shapes) but
     callers mask outputs past ``lengths``; hidden-state pollution after a
     sequence's end never flows back into valid frames."""
-    params = dequantize_params(params)  # long scan: hoist int8 dequant
+    if not cfg.int8_compute:
+        params = dequantize_params(params)  # long scan: hoist int8 dequant
     step = make_step(body_model, cfg, include_first_frame_step=False)
 
     def run_one(frames):
         frame0 = jax.tree.map(lambda x: x[0], frames)
         carry = prescan_first_frame(params, body_model, init_carry(params),
-                                    frame0)
+                                    frame0, int8_compute=cfg.int8_compute)
         _, out = jax.lax.scan(partial(step, params), carry, frames)
         return out
 
@@ -658,7 +666,8 @@ class StreamingNet:
 
         @partial(jax.jit, donate_argnums=(1,))
         def _prescan(params, carry, frame):
-            return prescan_first_frame(params, body_model, carry, frame)
+            return prescan_first_frame(params, body_model, carry, frame,
+                                       int8_compute=cfg.int8_compute)
 
         self._step = _step
         self._prescan = _prescan
@@ -692,7 +701,9 @@ class StreamingNet:
             @partial(jax.jit, donate_argnums=(1,))
             def run(params, carry, frames):
                 # chunk = a scan: hoist int8 dequant like the offline paths
-                params = dequantize_params(params)
+                # (unless int8_compute keeps the in-loop weights int8)
+                if not self.cfg.int8_compute:
+                    params = dequantize_params(params)
                 return jax.lax.scan(partial(step, params), carry, frames)
 
             self._chunk_fns[K] = run

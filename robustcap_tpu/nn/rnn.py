@@ -141,6 +141,38 @@ def dequantize_params(params, dtype=jnp.bfloat16):
     return jax.tree.map(d, params, is_leaf=_is_qtensor)
 
 
+def quantize_activation(x):
+    r"""Dynamic symmetric per-row int8 quantization of activations
+    ``x [..., K] -> (q int8 [..., K], scale f32 [..., 1])``.
+
+    Per-row (per batch element) scales cost one |x| row-max on the VPU and
+    keep the quantization error relative to each row's own range — the
+    recurrent hidden state h (tanh-bounded) and the linear1 output x (ReLU,
+    unbounded) are quantized separately in :func:`lstm_cell` so neither
+    crushes the other's resolution.
+    """
+    amax = jnp.max(jnp.abs(x), axis=-1, keepdims=True)
+    scale = (jnp.maximum(amax.astype(jnp.float32), 1e-12) / 127.0)
+    q = jnp.clip(jnp.round(x.astype(jnp.float32) / scale),
+                 -127, 127).astype(jnp.int8)
+    return q, scale
+
+
+def _dot_i8(xq, wq):
+    r"""``xq [..., K] @ wq [out, K]^T`` on the int8 MXU path, int32 accum."""
+    return jax.lax.dot_general(
+        xq, wq, (((xq.ndim - 1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32)
+
+
+def _qmatmul(x, w, out_dtype):
+    r"""``x @ w^T`` with dynamic int8 activations against an int8 qtensor
+    ``w {"q" [out, K], "scale" [out, 1]}``; result in ``out_dtype``."""
+    xq, sx = quantize_activation(x)
+    z = _dot_i8(xq, w["q"])
+    return (z.astype(jnp.float32) * sx * w["scale"][:, 0]).astype(out_dtype)
+
+
 def _wval(w, dtype):
     r"""A weight leaf as a dense array in ``dtype`` (dequantizing if int8)."""
     if _is_qtensor(w):
@@ -227,7 +259,7 @@ def _linear(p, x):
     return x @ _wval(p["w"], x.dtype).T + p["b"].astype(x.dtype)
 
 
-def lstm_cell(layer, x, h, c):
+def lstm_cell(layer, x, h, c, *, int8_compute: bool = False):
     r"""One LSTM cell step, PyTorch gate order (i, f, g, o).
 
     The input/hidden matmuls are fused into one ``[x | h] @ [W_ih | W_hh]^T``
@@ -236,11 +268,25 @@ def lstm_cell(layer, x, h, c):
     two. int8-quantized weights are dequantized to the activation dtype here
     (per-row scales differ between W_ih and W_hh, so dequant precedes the
     concat).
+
+    ``int8_compute=True`` (requires int8-quantized weights) instead runs the
+    two gate matmuls on the int8 MXU path: activations are dynamically
+    quantized per row — x and h separately, so the ReLU input's range never
+    crushes the tanh-bounded hidden state's resolution — and the int32
+    products are rescaled by (activation scale x per-channel weight scale).
+    This is the approximate high-throughput serving mode: weights stay int8
+    in HBM (4x fewer bytes per scan step than f32) and the MXU runs at its
+    int8 rate (~1.6x bf16 measured at these shapes, docs/PERFORMANCE.md).
     """
-    w = jnp.concatenate([_wval(layer["w_ih"], x.dtype),
-                         _wval(layer["w_hh"], x.dtype)], axis=1)
-    b = (layer["b_ih"] + layer["b_hh"]).astype(x.dtype)
-    z = jnp.concatenate([x, h], axis=-1) @ w.T + b
+    if int8_compute and _is_qtensor(layer["w_ih"]):
+        b = (layer["b_ih"] + layer["b_hh"]).astype(x.dtype)
+        z = (_qmatmul(x, layer["w_ih"], x.dtype)
+             + _qmatmul(h, layer["w_hh"], x.dtype) + b)
+    else:
+        w = jnp.concatenate([_wval(layer["w_ih"], x.dtype),
+                             _wval(layer["w_hh"], x.dtype)], axis=1)
+        b = (layer["b_ih"] + layer["b_hh"]).astype(x.dtype)
+        z = jnp.concatenate([x, h], axis=-1) @ w.T + b
     i, f, g, o = jnp.split(z, 4, axis=-1)
     c_new = jax.nn.sigmoid(f) * c + jax.nn.sigmoid(i) * jnp.tanh(g)
     h_new = jax.nn.sigmoid(o) * jnp.tanh(c_new)
@@ -248,7 +294,7 @@ def lstm_cell(layer, x, h, c):
 
 
 def rnn_step(params, x, state, *, dropout: float = 0.0,
-             rng: Optional[jax.Array] = None):
+             rng: Optional[jax.Array] = None, int8_compute: bool = False):
     r"""One frame through linear1 -> ReLU -> LSTM stack -> linear2.
 
     ``state`` is (h, c), each [L, ..., H]. Inference applies no dropout
@@ -275,7 +321,8 @@ def rnn_step(params, x, state, *, dropout: float = 0.0,
     new_h, new_c = [], []
     inp = y
     for l, layer in enumerate(params["layers"]):
-        hn, cn = lstm_cell(layer, inp, h[l], c[l])
+        hn, cn = lstm_cell(layer, inp, h[l], c[l],
+                           int8_compute=int8_compute)
         new_h.append(hn)
         new_c.append(cn)
         inp = hn
@@ -288,9 +335,14 @@ def rnn_step(params, x, state, *, dropout: float = 0.0,
 
 
 def rnn_scan(params, xs, state0=None, *, dropout: float = 0.0,
-             rng: Optional[jax.Array] = None):
-    r"""Run a whole sequence: xs [T, ..., in] -> (ys [T, ..., out], state)."""
-    params = dequantize_params(params)
+             rng: Optional[jax.Array] = None, int8_compute: bool = False):
+    r"""Run a whole sequence: xs [T, ..., in] -> (ys [T, ..., out], state).
+
+    With ``int8_compute`` the in-loop weights stay int8 (the point: 4x fewer
+    HBM bytes per step + the int8 MXU rate); otherwise quantized weights are
+    dequantized once, before the scan."""
+    if not int8_compute:
+        params = dequantize_params(params)
     if state0 is None:
         state0 = init_state(params, xs.shape[1:-1], xs.dtype)
     T = xs.shape[0]
@@ -305,7 +357,8 @@ def rnn_scan(params, xs, state0=None, *, dropout: float = 0.0,
         state, ys = jax.lax.scan(body, state0, (xs, rngs))
     else:
         def body(state, x):
-            out, state = rnn_step(params, x, state)
+            out, state = rnn_step(params, x, state,
+                                  int8_compute=int8_compute)
             return state, out
 
         state, ys = jax.lax.scan(body, state0, xs)

@@ -48,7 +48,8 @@ class StreamingMultiplexer:
         def prescan_all(params, carries, frames):
             return jax.vmap(
                 lambda c, f: sig_mp.prescan_first_frame(
-                    params, body_model, c, f),
+                    params, body_model, c, f,
+                    int8_compute=self.cfg.int8_compute),
                 in_axes=(0, 0))(carries, frames)
 
         self._step_all = step_all

@@ -151,6 +151,37 @@ class TestEndToEnd:
             np.testing.assert_allclose(p2, p1, atol=1e-4)
             np.testing.assert_allclose(t2, t1, atol=1e-4)
 
+    def test_int8_compute_on_mesh(self, world):
+        r"""The int8-MXU serving mode composes with the DP eval mesh (the
+        activation quantization is row-local, so sharded results equal the
+        single-device int8 path exactly)."""
+        model, params, ds = world
+        if len(jax.devices()) < 2:
+            pytest.skip("needs multi-device")
+        import dataclasses
+        from jax.sharding import Mesh
+        from robustcap_tpu.nn.rnn import quantize_params
+
+        mesh = Mesh(np.array(jax.devices()), ("data",))
+        seqs = build_aist_sequences(ds, num_cameras=2)
+        cfg = dataclasses.replace(SigMPConfig(), int8_compute=True)
+        qparams = quantize_params(params)
+        ref = run_sequences(qparams, model, cfg, seqs, pad_to_multiple=64)
+        got = run_sequences(qparams, model, cfg, seqs, mesh=mesh,
+                            pad_to_multiple=64)
+        for (p1, t1), (p2, t2) in zip(ref, got):
+            np.testing.assert_allclose(p2, p1, atol=1e-4)
+            np.testing.assert_allclose(t2, t1, atol=1e-4)
+        # sanity vs the exact f32 path: no divergence/blow-up (loose bound —
+        # these are random tiny-spec weights, far more quantization-sensitive
+        # than trained ones; precision claims live in test_quantization.py)
+        exact = run_sequences(params, model, SigMPConfig(), seqs,
+                              pad_to_multiple=64)
+        for (pq, tq), (pf, tf) in zip(got, exact):
+            assert np.abs(np.asarray(pq) - np.asarray(pf)).max() < 0.6
+            assert np.abs(np.asarray(pq) - np.asarray(pf)).mean() < 0.02
+            assert np.abs(np.asarray(tq) - np.asarray(tf)).max() < 0.1
+
     def test_cal_mpjpe_identity(self, world):
         model, _, ds = world
         seqs = build_aist_sequences(ds, num_cameras=1)

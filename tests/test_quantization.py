@@ -226,3 +226,73 @@ class TestQuantizedFusionNet:
         assert np.asarray(pose).shape == (24, 3, 3)
         assert np.all(np.isfinite(np.asarray(pose)))
         assert np.all(np.isfinite(np.asarray(tran)))
+
+
+class TestInt8Compute:
+    r"""Dynamic-activation int8 compute mode (``int8_compute=True``): gate
+    matmuls run int8 x int8 -> int32 with per-row activation scales instead
+    of dequantizing weights to bf16 (nn/rnn.py::lstm_cell)."""
+
+    def test_quantize_activation_round_trip(self):
+        x = jax.random.normal(jax.random.PRNGKey(3), (5, 97)) * \
+            jnp.asarray([0.01, 1.0, 100.0, 1e-6, 3.0])[:, None]
+        q, s = R.quantize_activation(x)
+        assert q.dtype == jnp.int8
+        back = q.astype(jnp.float32) * s
+        row_max = np.abs(np.asarray(x)).max(axis=1, keepdims=True)
+        assert np.all(np.abs(np.asarray(back) - np.asarray(x))
+                      <= row_max / 254 + 1e-9)
+
+    def test_scan_close_to_f32(self):
+        p = _params(hidden=96)
+        qp = R.quantize_params(p)
+        xs = jax.random.normal(jax.random.PRNGKey(5), (48, 4, 72))
+        y_f, _ = R.rnn_scan(p, xs)
+        y_q, _ = R.rnn_scan(qp, xs, int8_compute=True)
+        err = np.abs(np.asarray(y_f - y_q, np.float32))
+        scale = np.abs(np.asarray(y_f, np.float32)).max()
+        assert err.max() / scale < 0.05   # no recurrent blow-up over 48 steps
+        assert err.mean() / scale < 0.01
+
+    def test_requires_quantized_weights_noop_otherwise(self):
+        # unquantized weights: the flag falls back to the dense path
+        p = _params(hidden=32)
+        xs = jax.random.normal(jax.random.PRNGKey(6), (4, 2, 72))
+        y_a, _ = R.rnn_scan(p, xs)
+        y_b, _ = R.rnn_scan(p, xs, int8_compute=True)
+        np.testing.assert_allclose(np.asarray(y_a), np.asarray(y_b))
+
+    def test_fusion_net_trajectory_close(self):
+        from robustcap_tpu.config import SigMPConfig
+        from robustcap_tpu.models import sig_mp
+        from robustcap_tpu.smpl import ParametricModel, synthetic_smpl_data
+        import robustcap_tpu.math as M
+
+        model = ParametricModel(data=synthetic_smpl_data(num_verts=300))
+        specs = {k: (i, o, 48, d, w)
+                 for k, (i, o, _, d, w) in sig_mp.RNN_SPECS.items()}
+        params = sig_mp.init_params(jax.random.PRNGKey(0), specs)
+        qparams = R.quantize_params(params)
+        T = 40
+        rng = np.random.RandomState(0)
+        j2dc = (rng.randn(T, 33, 3) * 0.1).astype(np.float32)
+        j2dc[..., 2] = np.clip(rng.uniform(0.3, 1.0, (T, 1)), 0, 1)
+        accc = rng.randn(T, 6, 3).astype(np.float32)
+        aa = (rng.randn(T * 6, 3) * 0.2).astype(np.float32)
+        oric = np.asarray(M.axis_angle_to_rotation_matrix(jnp.asarray(aa))
+                          ).reshape(T, 6, 3, 3).astype(np.float32)
+
+        pose_f, tran_f = sig_mp.forward_offline(
+            params, model, SigMPConfig(), j2dc, accc, oric, first_frame=True)
+        pose_q, tran_q = sig_mp.forward_offline(
+            qparams, model, SigMPConfig(int8_compute=True),
+            j2dc, accc, oric, first_frame=True)
+        pose_f, pose_q = np.asarray(pose_f), np.asarray(pose_q)
+        tran_f, tran_q = np.asarray(tran_f), np.asarray(tran_q)
+        assert np.abs(pose_q - pose_f).max() < 0.3
+        assert np.abs(pose_q - pose_f).mean() < 0.02
+        assert np.abs(tran_q - tran_f).max() < 0.05
+        # outputs stay finite and orthonormal-ish
+        rtr = np.einsum("tjab,tjac->tjbc", pose_q, pose_q)
+        eye = np.broadcast_to(np.eye(3), rtr.shape)
+        assert np.abs(rtr - eye).max() < 0.02
