@@ -74,6 +74,18 @@ def main():
     model = ParametricModel(data=synthetic_smpl_data())
     params = sig_mp.init_params(jax.random.PRNGKey(0))  # full-size bank
     bench_dtype = os.environ.get("BENCH_DTYPE", "f32")
+
+    def int8c_setup(p):
+        r"""(quantized params, int8-MXU cfg, jitted batched fn) — the single
+        definition of the int8c configuration (approximate serving mode:
+        weights stay int8 in-loop, activations quantized per row)."""
+        from robustcap_tpu.nn.rnn import quantize_params
+        qp = quantize_params(p)
+        qcfg = SigMPConfig(int8_compute=True)
+        qfn = jax.jit(
+            lambda p_, f: sig_mp.forward_offline_batched(p_, model, qcfg, f))
+        return qp, qcfg, qfn
+
     cfg = SigMPConfig()
     if bench_dtype in ("bf16", "bfloat16"):
         from robustcap_tpu.nn.rnn import cast_params
@@ -82,11 +94,7 @@ def main():
         from robustcap_tpu.nn.rnn import quantize_params
         params = quantize_params(params)
     elif bench_dtype == "int8c":
-        # int8-MXU compute mode: weights stay int8 in-loop, activations
-        # dynamically quantized per row (approximate serving mode)
-        from robustcap_tpu.nn.rnn import quantize_params
-        params = quantize_params(params)
-        cfg = SigMPConfig(int8_compute=True)
+        params, cfg, _ = int8c_setup(params)
 
     rng = np.random.RandomState(0)
     j2dc = (rng.randn(B, T, 33, 3) * 0.1).astype(np.float32)
@@ -126,11 +134,7 @@ def main():
     # -- int8-MXU serving mode (approximate; docs/PERFORMANCE.md) ----------
     int8c_fps = None
     if bench_dtype == "f32" and os.environ.get("BENCH_INT8C", "1") != "0":
-        from robustcap_tpu.nn.rnn import quantize_params
-        qparams = quantize_params(params)
-        qcfg = SigMPConfig(int8_compute=True)
-        qbatched = jax.jit(
-            lambda p, f: sig_mp.forward_offline_batched(p, model, qcfg, f))
+        qparams, _, qbatched = int8c_setup(params)
         jax.block_until_ready(qbatched(qparams, frames))
         t0 = time.perf_counter()
         for _ in range(reps):

@@ -173,6 +173,34 @@ def _qmatmul(x, w, out_dtype):
     return (z.astype(jnp.float32) * sx * w["scale"][:, 0]).astype(out_dtype)
 
 
+def dequantize_non_gate_params(params, dtype=jnp.bfloat16):
+    r"""Dequantize every int8 weight EXCEPT the LSTM gate matrices
+    (``layers[*].w_ih/w_hh``).
+
+    The int8-MXU compute mode only routes the gate matmuls through
+    ``_qmatmul``; the small linear1/linear2/init_net matrices still go
+    through ``_wval``'s dense dequant, which inside a ``lax.scan`` would
+    re-run every step (the in-loop dequant XLA does not reliably hoist —
+    docs/PERFORMANCE.md). Scan drivers call this before the scan when
+    ``int8_compute`` is on, so in-loop int8 reads are exactly the gate
+    weights the MXU consumes directly."""
+    if not is_quantized(params):
+        return params
+
+    def walk(node, under_layers=False):
+        if _is_qtensor(node):
+            return node if under_layers else dequantize_tensor(node, dtype)
+        if isinstance(node, dict):
+            return {k: walk(v, under_layers or k == "layers")
+                    for k, v in node.items()}
+        if isinstance(node, (list, tuple)):
+            t = [walk(v, under_layers) for v in node]
+            return type(node)(t) if not isinstance(node, tuple) else tuple(t)
+        return node
+
+    return walk(params)
+
+
 def _wval(w, dtype):
     r"""A weight leaf as a dense array in ``dtype`` (dequantizing if int8)."""
     if _is_qtensor(w):
@@ -338,10 +366,17 @@ def rnn_scan(params, xs, state0=None, *, dropout: float = 0.0,
              rng: Optional[jax.Array] = None, int8_compute: bool = False):
     r"""Run a whole sequence: xs [T, ..., in] -> (ys [T, ..., out], state).
 
-    With ``int8_compute`` the in-loop weights stay int8 (the point: 4x fewer
-    HBM bytes per step + the int8 MXU rate); otherwise quantized weights are
-    dequantized once, before the scan."""
-    if not int8_compute:
+    With ``int8_compute`` the in-loop gate weights stay int8 (the point: 4x
+    fewer HBM bytes per step + the int8 MXU rate) and the small non-gate
+    linears are dequantized once up front; otherwise quantized weights are
+    dequantized once, before the scan. ``int8_compute`` is inference-only
+    (the activation rounding has no useful gradient) and rejects dropout."""
+    if int8_compute:
+        if dropout > 0.0 and rng is not None:
+            raise ValueError("int8_compute is inference-only; dropout "
+                             "training must use the dense path")
+        params = dequantize_non_gate_params(params)
+    else:
         params = dequantize_params(params)
     if state0 is None:
         state0 = init_state(params, xs.shape[1:-1], xs.dtype)

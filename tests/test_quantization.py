@@ -296,3 +296,25 @@ class TestInt8Compute:
         rtr = np.einsum("tjab,tjac->tjbc", pose_q, pose_q)
         eye = np.broadcast_to(np.eye(3), rtr.shape)
         assert np.abs(rtr - eye).max() < 0.02
+
+    def test_dropout_training_rejected(self):
+        p = R.quantize_params(_params(hidden=32))
+        xs = jax.random.normal(jax.random.PRNGKey(7), (4, 2, 72))
+        with pytest.raises(ValueError, match="inference-only"):
+            R.rnn_scan(p, xs, dropout=0.4, rng=jax.random.PRNGKey(0),
+                       int8_compute=True)
+
+    def test_dequantize_non_gate_params_scope(self):
+        r"""Gate matrices stay int8 (the MXU consumes them directly); the
+        small linears dequantize so scans never re-dequantize in-loop."""
+        qp = R.quantize_params(_params(hidden=32, with_init=True))
+        out = R.dequantize_non_gate_params(qp)
+        assert R._is_qtensor(out["layers"][0]["w_ih"])
+        assert R._is_qtensor(out["layers"][1]["w_hh"])
+        assert not R._is_qtensor(out["linear1"]["w"])
+        assert not R._is_qtensor(out["linear2"]["w"])
+        # dense leaves match a full dequant
+        dense = R.dequantize_params(qp)
+        np.testing.assert_allclose(
+            np.asarray(out["linear1"]["w"], np.float32),
+            np.asarray(dense["linear1"]["w"], np.float32))
