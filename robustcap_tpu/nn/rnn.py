@@ -30,7 +30,10 @@ __all__ = [
     "lstm_cell", "rnn_step", "rnn_scan", "rnn_forward_padded",
     "init_net_apply", "rnn_params_from_torch", "cast_params",
     "quantize_tensor", "dequantize_tensor", "quantize_params",
-    "dequantize_params", "is_quantized",
+    "dequantize_params", "dequantize_non_gate_params", "is_quantized",
+    "quantize_activation",
+    "pure_rnn_params_from_torch", "pure_rnn_forward_padded",
+    "cycle_rnn_params_from_torch", "cycle_rnn_forward_padded",
 ]
 
 
@@ -479,3 +482,113 @@ def rnn_params_from_torch(state_dict, prefix: str = "", dtype=jnp.float32):
             for i in (0, 2, 4)
         ]
     return params
+
+
+# ---------------------------------------------------------------------------
+# PureRNN / CycleRNN (reference rnn.py:136-172, 222-279)
+# ---------------------------------------------------------------------------
+#
+# Dead code in the reference's shipped pipeline (no call sites), rebuilt for
+# API completeness: PureRNN is a bare torch LSTM with an output projection
+# (proj_size), CycleRNN is the autoregressive linear1->LSTM->linear2 stack
+# whose input tail is the lerp of the previous prediction with the provided
+# (teacher) value. Both keep the torch weight layout so checkpoints convert
+# 1:1, and both take/return padded [T, B, .] arrays with a ``lengths`` mask
+# (the JAX replacement for the reference's list-of-variable-length-sequences
+# convention, like rnn_forward_padded).
+
+
+def pure_rnn_params_from_torch(state_dict, prefix: str = "",
+                               dtype=jnp.float32):
+    r"""Convert a torch ``PureRNN`` state_dict (LSTM with ``proj_size``:
+    ``rnn.weight_ih_l{k}`` [4H, in], ``rnn.weight_hh_l{k}`` [4H, proj],
+    ``rnn.weight_hr_l{k}`` [proj, H])."""
+    def get(name):
+        return jnp.asarray(np.asarray(state_dict[prefix + name]), dtype)
+
+    layers, k = [], 0
+    while (prefix + f"rnn.weight_ih_l{k}") in state_dict:
+        layers.append({
+            "w_ih": get(f"rnn.weight_ih_l{k}"),
+            "w_hh": get(f"rnn.weight_hh_l{k}"),
+            "b_ih": get(f"rnn.bias_ih_l{k}"),
+            "b_hh": get(f"rnn.bias_hh_l{k}"),
+            "w_hr": get(f"rnn.weight_hr_l{k}"),
+        })
+        k += 1
+    return {"layers": layers}
+
+
+def _proj_lstm_cell(layer, x, h, c):
+    r"""torch proj-LSTM cell: standard gates, then h = (o*tanh(c)) @ w_hr^T
+    (h carries the projected size, c the full hidden size)."""
+    z = (x @ layer["w_ih"].T + h @ layer["w_hh"].T
+         + layer["b_ih"] + layer["b_hh"])
+    i, f, g, o = jnp.split(z, 4, axis=-1)
+    c_new = jax.nn.sigmoid(f) * c + jax.nn.sigmoid(i) * jnp.tanh(g)
+    h_new = (jax.nn.sigmoid(o) * jnp.tanh(c_new)) @ layer["w_hr"].T
+    return h_new, c_new
+
+
+def pure_rnn_forward_padded(params, xs, lengths):
+    r"""PureRNN.forward (rnn.py:161-172): xs [T, B, in] -> ys [T, B, proj],
+    zero-padded past each sequence's length, masked exactly like
+    ``rnn_forward_padded`` (pack_padded semantics)."""
+    B = xs.shape[1]
+    layers = params["layers"]
+    H = layers[0]["w_hh"].shape[0] // 4
+    P = layers[0]["w_hr"].shape[0]
+    h0 = jnp.zeros((len(layers), B, P), xs.dtype)
+    c0 = jnp.zeros((len(layers), B, H), xs.dtype)
+
+    def body(state, inp):
+        h, c, t = state
+        x = inp
+        active = (t < lengths)[:, None]
+        new_h, new_c, cur = [], [], x
+        for l, layer in enumerate(layers):
+            hn, cn = _proj_lstm_cell(layer, cur, h[l], c[l])
+            new_h.append(jnp.where(active, hn, h[l]))
+            new_c.append(jnp.where(active, cn, c[l]))
+            cur = new_h[-1]
+        out = jnp.where(active, cur, 0.0)
+        return (jnp.stack(new_h), jnp.stack(new_c), t + 1), out
+
+    (_, _, _), ys = jax.lax.scan(body, (h0, c0, jnp.asarray(0)), xs)
+    return ys
+
+
+def cycle_rnn_params_from_torch(state_dict, prefix: str = "",
+                                dtype=jnp.float32):
+    r"""CycleRNN shares the linear1/rnn/linear2 layout of ``RNN``."""
+    return rnn_params_from_torch(state_dict, prefix, dtype)
+
+
+def cycle_rnn_forward_padded(params, xs, lengths, pred_weight: float = 1.0):
+    r"""CycleRNN.forward (rnn.py:259-279): autoregressive — each step's input
+    tail (the last ``output_size`` dims) is replaced by
+    ``lerp(prev_prediction, provided_tail, 1 - pred_weight)``; the first
+    step's "previous prediction" is frame 0's provided tail. Predictions are
+    stop_gradient'ed like the reference's ``.detach()``. xs [T, B, in] ->
+    ys [T, B, out], zero-padded past ``lengths``."""
+    out_size = params["linear2"]["w"].shape[0]
+    B = xs.shape[1]
+    h0, c0 = init_state(params, (B,), xs.dtype)
+    prev0 = xs[0, :, -out_size:]
+    t_idx = jnp.asarray(0)
+
+    def body(state, x):
+        h, c, prev, t = state
+        active = (t < lengths)[:, None]
+        tail = (jax.lax.stop_gradient(prev) * pred_weight
+                + jax.lax.stop_gradient(x[:, -out_size:])
+                * (1.0 - pred_weight))
+        xi = jnp.concatenate([x[:, :-out_size], tail], axis=-1)
+        out, (h_new, c_new) = rnn_step(params, xi, (h, c))
+        h_new = jnp.where(active[None], h_new, h)
+        c_new = jnp.where(active[None], c_new, c)
+        prev_new = jnp.where(active, out, prev)
+        return (h_new, c_new, prev_new, t + 1), jnp.where(active, out, 0.0)
+
+    (_, _, _, _), ys = jax.lax.scan(body, (h0, c0, prev0, t_idx), xs)
+    return ys

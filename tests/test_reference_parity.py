@@ -326,3 +326,57 @@ def test_constants_match_reference(ref):
     assert list(ref.config.ji_mask) == list(IMU_JOINT_MASK)
     assert list(ref.config.vi_mask) == list(IMU_VERTEX_MASK)
     assert ref.config.vel_scale == VEL_SCALE
+
+
+def test_pure_rnn_forward_parity(ref):
+    r"""Reference PureRNN.forward (bare torch LSTM with proj_size,
+    rnn.py:136-172) vs pure_rnn_forward_padded (proj-LSTM cell scan)."""
+    from articulate.utils.torch.rnn import PureRNN
+
+    from robustcap_tpu.nn.rnn import (pure_rnn_forward_padded,
+                                      pure_rnn_params_from_torch)
+
+    torch.manual_seed(11)
+    m = PureRNN(input_size=9, output_size=5, hidden_size=16,
+                num_rnn_layer=2).eval()
+    params = pure_rnn_params_from_torch(torch_state_dict_numpy(m))
+    lengths = [8, 3, 6]
+    seqs = [torch.randn(l, 9) for l in lengths]
+    with torch.no_grad():
+        expect = m(seqs)
+    T = max(lengths)
+    xs = np.zeros((T, len(lengths), 9), np.float32)
+    for i, s in enumerate(seqs):
+        xs[:lengths[i], i] = s.numpy()
+    ys = np.asarray(pure_rnn_forward_padded(params, jnp.asarray(xs),
+                                            jnp.asarray(lengths)))
+    for i, l in enumerate(lengths):
+        np.testing.assert_allclose(ys[:l, i], expect[i].numpy(), atol=1e-5)
+
+
+@pytest.mark.parametrize("pred_weight", [1.0, 0.3])
+def test_cycle_rnn_forward_parity(ref, pred_weight):
+    r"""Reference CycleRNN.forward (autoregressive input-tail lerp,
+    rnn.py:222-279) vs cycle_rnn_forward_padded."""
+    from articulate.utils.torch.rnn import CycleRNN
+
+    from robustcap_tpu.nn.rnn import (cycle_rnn_forward_padded,
+                                      cycle_rnn_params_from_torch)
+
+    torch.manual_seed(12)
+    m = CycleRNN(input_size=10, output_size=4, hidden_size=16,
+                 num_rnn_layer=2, pred_weight=pred_weight).eval()
+    params = cycle_rnn_params_from_torch(torch_state_dict_numpy(m))
+    # the reference pads with zeros and runs ALL padded steps (no packing in
+    # CycleRNN.forward), so equal lengths keep the comparison exact
+    lengths = [7, 7]
+    seqs = [torch.randn(l, 10) for l in lengths]
+    with torch.no_grad():
+        expect = m([s.clone() for s in seqs])
+    T = max(lengths)
+    xs = np.stack([s.numpy() for s in seqs], axis=1)
+    ys = np.asarray(cycle_rnn_forward_padded(
+        params, jnp.asarray(xs), jnp.asarray(lengths),
+        pred_weight=pred_weight))
+    for i, l in enumerate(lengths):
+        np.testing.assert_allclose(ys[:l, i], expect[i].numpy(), atol=1e-5)
