@@ -140,6 +140,28 @@ def cmd_quantize(args):
     print(json.dumps({"out": args.out, "bytes": int(nbytes)}))
 
 
+def cmd_export(args):
+    r"""AOT-export the streaming step to a serving bundle (StableHLO via
+    jax.export + weights + config manifest; robustcap_tpu/serving.py)."""
+    import dataclasses
+    from robustcap_tpu.config import SigMPConfig
+    from robustcap_tpu.serving import export_serving_bundle
+    from robustcap_tpu.smpl import default_body_model
+
+    params = _load_params(args)
+    cfg = SigMPConfig.live_mode() if args.live else SigMPConfig()
+    if args.int8_compute:
+        from robustcap_tpu.nn.rnn import quantize_params
+        params = quantize_params(params)
+        cfg = dataclasses.replace(cfg, int8_compute=True)
+    manifest = export_serving_bundle(
+        params, default_body_model(), cfg, args.out,
+        platforms=(tuple(args.platforms.split(","))
+                   if args.platforms else None))
+    print(json.dumps({"out": args.out,
+                      "platforms": manifest["platforms"]}))
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(prog="robustcap_tpu")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -188,6 +210,20 @@ def main(argv=None):
     pq.add_argument("--orbax", action="store_true",
                     help="write an orbax checkpoint instead of a pickle")
     pq.set_defaults(fn=cmd_quantize)
+
+    px = sub.add_parser("export",
+                        help="AOT-export the streaming step to a serving "
+                             "bundle (no re-trace at load)")
+    px.add_argument("--weights")
+    px.add_argument("--out", required=True, help="bundle directory")
+    px.add_argument("--platforms", default="",
+                    help="comma-separated lowering targets (default: the "
+                         "current backend)")
+    px.add_argument("--live", action="store_true",
+                    help="live-demo flag set (conf gates, throttle)")
+    px.add_argument("--int8-compute", action="store_true",
+                    help="quantize weights and export the int8-MXU mode")
+    px.set_defaults(fn=cmd_export)
 
     pt = sub.add_parser("train", help="train fusion RNNs")
     pt.add_argument("--rnn", default="all",

@@ -1,0 +1,147 @@
+r"""Serving bundles: ahead-of-time exported streaming step artifacts.
+
+The reference deploys by shipping Python + torch and re-tracing the model
+on every process start (live_server.py). A TPU-native serving story wants
+the compiled program itself to be the artifact: this module serializes the
+fused per-frame step (and its first-frame prescan) through ``jax.export``
+(StableHLO), together with the weights and the flag configuration, into a
+directory that a serving process loads WITHOUT the model code path — no
+re-trace, no Python-side model definition, stable across process restarts.
+
+Bundle layout (directory)::
+
+    manifest.json   config flags, dtype note, format version
+    step.bin        serialized exported step(params, carry, frame)
+    prescan.bin     serialized exported prescan(params, carry, frame)
+    weights.pkl     parameter pytree (save_pytree format; int8 records ok)
+
+``export_serving_bundle`` lowers for an explicit platform list (default
+CPU+TPU, making one portable artifact); ``ServingBundle.load`` restores a
+``forward_online``-compatible stateful wrapper around the deserialized
+functions.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+
+import jax
+import numpy as np
+
+from .config import SigMPConfig
+from .models import sig_mp
+from .smpl.model import ParametricModel
+
+__all__ = ["export_serving_bundle", "ServingBundle"]
+
+_FORMAT_VERSION = 1
+
+
+def export_serving_bundle(params, body_model: ParametricModel,
+                          cfg: SigMPConfig, path: str,
+                          platforms=None) -> dict:
+    r"""Export the steady streaming step + first-frame prescan to ``path``.
+
+    The exported functions take ``(params, carry, frame)`` as runtime
+    arguments (weights are NOT baked into the StableHLO), so the artifact
+    stays small and the same program serves re-trained weights of the same
+    shapes. Returns the manifest dict.
+
+    ``platforms=None`` lowers for the current default backend (the usual
+    case: export where you serve). Pass an explicit tuple like
+    ``("cpu", "tpu")`` for a portable multi-platform artifact — note that
+    lowering for a platform other than the attached backend requires that
+    platform's compiler to be functional in-process (true for cpu
+    everywhere; "tpu" lowering does not work through this environment's
+    experimental network-tunneled backend).
+    """
+    from jax import export as jexport
+
+    os.makedirs(path, exist_ok=True)
+    step = sig_mp.make_step(body_model, cfg, include_first_frame_step=False)
+
+    def prescan(params, carry, frame):
+        return sig_mp.prescan_first_frame(params, body_model, carry, frame,
+                                          int8_compute=cfg.int8_compute)
+
+    carry = sig_mp.init_carry(params)
+    frame = sig_mp.make_frame(np.zeros((33, 3), np.float32),
+                              np.zeros((6, 3), np.float32),
+                              np.broadcast_to(np.eye(3, dtype=np.float32),
+                                              (6, 3, 3)).copy())
+    args = (params, carry, frame)
+    shapes = jax.tree.map(
+        lambda x: jax.ShapeDtypeStruct(np.shape(x), x.dtype), args)
+
+    plats = None if platforms is None else list(platforms)
+    exp_step = jexport.export(jax.jit(step), platforms=plats)(*shapes)
+    exp_pre = jexport.export(jax.jit(prescan), platforms=plats)(*shapes)
+    if plats is None:
+        plats = list(exp_step.platforms)
+
+    with open(os.path.join(path, "step.bin"), "wb") as f:
+        f.write(exp_step.serialize())
+    with open(os.path.join(path, "prescan.bin"), "wb") as f:
+        f.write(exp_pre.serialize())
+
+    from .train import save_pytree
+    save_pytree(params, os.path.join(path, "weights.pkl"))
+
+    manifest = {
+        "format_version": _FORMAT_VERSION,
+        "platforms": plats,
+        "config": dataclasses.asdict(cfg),
+        "jax_version": jax.__version__,
+    }
+    with open(os.path.join(path, "manifest.json"), "w") as f:
+        json.dump(manifest, f, indent=2)
+    return manifest
+
+
+class ServingBundle:
+    r"""A loaded bundle: the reference's ``forward_online`` API over the
+    deserialized compiled step — no model code, no re-trace."""
+
+    def __init__(self, step_fn, prescan_fn, params, cfg: SigMPConfig,
+                 manifest: dict):
+        self._step = step_fn
+        self._prescan = prescan_fn
+        self.params = params
+        self.cfg = cfg
+        self.manifest = manifest
+        self.carry = None
+        self.reset_states()
+
+    @classmethod
+    def load(cls, path: str) -> "ServingBundle":
+        from jax import export as jexport
+
+        from .train import load_pytree
+
+        with open(os.path.join(path, "manifest.json")) as f:
+            manifest = json.load(f)
+        if manifest["format_version"] != _FORMAT_VERSION:
+            raise ValueError(
+                f"bundle format {manifest['format_version']} != "
+                f"{_FORMAT_VERSION}")
+        with open(os.path.join(path, "step.bin"), "rb") as f:
+            step = jexport.deserialize(f.read())
+        with open(os.path.join(path, "prescan.bin"), "rb") as f:
+            prescan = jexport.deserialize(f.read())
+        params = load_pytree(os.path.join(path, "weights.pkl"))
+        cfg = SigMPConfig(**manifest["config"])
+        return cls(step.call, prescan.call, params, cfg, manifest)
+
+    def reset_states(self):
+        self.carry = sig_mp.init_carry(self.params)
+
+    def forward_online(self, j2dc, accc, oric, first_tran=None,
+                       first_frame=False, gravityc=None):
+        frame = sig_mp.make_frame(j2dc, accc, oric, first_tran, first_frame,
+                                  gravityc)
+        if first_frame:
+            self.carry = self._prescan(self.params, self.carry, frame)
+        self.carry, (pose, tran) = self._step(self.params, self.carry, frame)
+        return pose, tran

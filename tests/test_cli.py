@@ -30,7 +30,7 @@ def test_help_lists_all_subcommands(capsys):
         main(["--help"])
     out = capsys.readouterr().out
     for cmd in ("eval", "latency", "live-server", "imu-bridge",
-                "preprocess", "train", "quantize"):
+                "preprocess", "train", "quantize", "export"):
         assert cmd in out
 
 
@@ -79,3 +79,23 @@ def test_quantize_is_idempotent_on_quantized_input(tmp_path, capsys):
     a, b = load_pytree(mid), load_pytree(dst)
     for x, y in zip(jax.tree.leaves(a), jax.tree.leaves(b)):
         assert np.array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_export_subcommand_round_trip(tmp_path, capsys):
+    r"""CLI export produces a loadable serving bundle."""
+    from robustcap_tpu.serving import ServingBundle
+
+    params = sig_mp.init_params(jax.random.PRNGKey(1), SMALL_SPECS)
+    src = str(tmp_path / "weights.pkl")
+    save_pytree(params, src)
+    out = str(tmp_path / "bundle")
+    main(["export", "--weights", src, "--out", out, "--platforms", "cpu"])
+    info = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert info["platforms"] == ["cpu"]
+    bundle = ServingBundle.load(out)
+    pose, tran = bundle.forward_online(
+        np.full((33, 3), 0.5, np.float32), np.zeros((6, 3), np.float32),
+        np.broadcast_to(np.eye(3, dtype=np.float32), (6, 3, 3)).copy(),
+        first_frame=True)
+    assert np.asarray(pose).shape == (24, 3, 3)
+    assert np.all(np.isfinite(np.asarray(tran)))

@@ -1,0 +1,108 @@
+r"""AOT serving bundles: jax.export'ed step + prescan round-trips through
+disk and matches the live StreamingNet frame-for-frame (serving story —
+no model re-trace at load time; robustcap_tpu/serving.py)."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+import robustcap_tpu.math as M
+from robustcap_tpu.config import SigMPConfig
+from robustcap_tpu.models import sig_mp
+from robustcap_tpu.serving import ServingBundle, export_serving_bundle
+from robustcap_tpu.smpl import ParametricModel, synthetic_smpl_data
+
+SPECS = {
+    "rnn2": (72, 69, 16, 0.4, True), "rnn3": (141, 3, 16, 0.4, False),
+    "rnn4": (171, 69, 24, 0.4, False), "rnn6": (240, 3, 20, 0.4, False),
+    "rnn7": (141, 144, 16, 0.1, False), "rnn8": (141, 2, 16, 0.4, False),
+}
+
+
+@pytest.fixture(scope="module")
+def world():
+    model = ParametricModel(data=synthetic_smpl_data(num_verts=300))
+    params = sig_mp.init_params(jax.random.PRNGKey(3), SPECS)
+    return model, params
+
+
+def inputs(T, seed=0):
+    rng = np.random.RandomState(seed)
+    j2 = np.concatenate([rng.randn(T, 33, 2) * 0.1,
+                         np.full((T, 33, 1), 0.9)], 2).astype(np.float32)
+    ac = rng.randn(T, 6, 3).astype(np.float32)
+    aa = (rng.randn(T * 6, 3) * 0.2).astype(np.float32)
+    orc = np.asarray(M.axis_angle_to_rotation_matrix(jnp.asarray(aa))
+                     ).reshape(T, 6, 3, 3)
+    return j2, ac, orc
+
+
+def test_export_load_matches_streaming_net(world, tmp_path):
+    model, params = world
+    cfg = SigMPConfig()
+    path = str(tmp_path / "bundle")
+    manifest = export_serving_bundle(params, model, cfg, path,
+                                     platforms=("cpu",))
+    assert os.path.exists(os.path.join(path, "step.bin"))
+    assert manifest["config"]["use_flat_floor"] is True
+
+    bundle = ServingBundle.load(path)
+    net = sig_mp.StreamingNet(params, model, cfg)
+    j2, ac, orc = inputs(6)
+    for t in range(6):
+        pb, tb = bundle.forward_online(j2[t], ac[t], orc[t],
+                                       first_frame=(t == 0))
+        pn, tn = net.forward_online(j2[t], ac[t], orc[t],
+                                    first_frame=(t == 0))
+        np.testing.assert_allclose(np.asarray(pb), np.asarray(pn), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(tb), np.asarray(tn), atol=1e-5)
+
+    # reset + second run with first_tran
+    bundle.reset_states()
+    net2 = sig_mp.StreamingNet(params, model, cfg)
+    for t in range(4):
+        ft = [0.1, 0.0, 3.0] if t == 0 else None
+        pb, tb = bundle.forward_online(j2[t], ac[t], orc[t], first_tran=ft)
+        pn, tn = net2.forward_online(j2[t], ac[t], orc[t], first_tran=ft)
+        np.testing.assert_allclose(np.asarray(tb), np.asarray(tn), atol=1e-5)
+
+
+def test_bundle_load_rejects_wrong_version(world, tmp_path):
+    model, params = world
+    path = str(tmp_path / "bundle")
+    export_serving_bundle(params, model, SigMPConfig(), path,
+                          platforms=("cpu",))
+    mpath = os.path.join(path, "manifest.json")
+    m = json.load(open(mpath))
+    m["format_version"] = 999
+    json.dump(m, open(mpath, "w"))
+    with pytest.raises(ValueError, match="format"):
+        ServingBundle.load(path)
+
+
+def test_quantized_bundle(world, tmp_path):
+    r"""int8 weights + int8_compute survive export/serialize/load."""
+    from robustcap_tpu.nn.rnn import quantize_params
+    import dataclasses
+
+    model, params = world
+    qparams = quantize_params(params)
+    cfg = dataclasses.replace(SigMPConfig(), int8_compute=True)
+    path = str(tmp_path / "qbundle")
+    export_serving_bundle(qparams, model, cfg, path, platforms=("cpu",))
+    bundle = ServingBundle.load(path)
+    assert bundle.cfg.int8_compute
+    net = sig_mp.StreamingNet(qparams, model, cfg)
+    j2, ac, orc = inputs(4, seed=5)
+    for t in range(4):
+        pb, tb = bundle.forward_online(j2[t], ac[t], orc[t],
+                                       first_frame=(t == 0))
+        pn, tn = net.forward_online(j2[t], ac[t], orc[t],
+                                    first_frame=(t == 0))
+        np.testing.assert_allclose(np.asarray(pb), np.asarray(pn), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(tb), np.asarray(tn), atol=1e-5)
