@@ -534,6 +534,7 @@ def pure_rnn_forward_padded(params, xs, lengths):
     r"""PureRNN.forward (rnn.py:161-172): xs [T, B, in] -> ys [T, B, proj],
     zero-padded past each sequence's length, masked exactly like
     ``rnn_forward_padded`` (pack_padded semantics)."""
+    params = dequantize_params(params)
     B = xs.shape[1]
     layers = params["layers"]
     H = layers[0]["w_hh"].shape[0] // 4
@@ -571,6 +572,7 @@ def cycle_rnn_forward_padded(params, xs, lengths, pred_weight: float = 1.0):
     step's "previous prediction" is frame 0's provided tail. Predictions are
     stop_gradient'ed like the reference's ``.detach()``. xs [T, B, in] ->
     ys [T, B, out], zero-padded past ``lengths``."""
+    params = dequantize_params(params)
     out_size = params["linear2"]["w"].shape[0]
     B = xs.shape[1]
     h0, c0 = init_state(params, (B,), xs.dtype)

@@ -15,10 +15,11 @@ Bundle layout (directory)::
     prescan.bin     serialized exported prescan(params, carry, frame)
     weights.pkl     parameter pytree (save_pytree format; int8 records ok)
 
-``export_serving_bundle`` lowers for an explicit platform list (default
-CPU+TPU, making one portable artifact); ``ServingBundle.load`` restores a
-``forward_online``-compatible stateful wrapper around the deserialized
-functions.
+``export_serving_bundle`` lowers for the current default backend, or an
+explicit platform list (e.g. ``("cpu", "tpu")`` for one portable artifact
+where both compilers are available in-process); ``ServingBundle.load``
+restores a ``forward_online``-compatible stateful wrapper around the
+deserialized functions.
 """
 
 from __future__ import annotations
@@ -131,7 +132,11 @@ class ServingBundle:
         with open(os.path.join(path, "prescan.bin"), "rb") as f:
             prescan = jexport.deserialize(f.read())
         params = load_pytree(os.path.join(path, "weights.pkl"))
-        cfg = SigMPConfig(**manifest["config"])
+        cfg_dict = dict(manifest["config"])
+        # JSON degrades tuples to lists; restore so loaded configs compare
+        # (and hash) equal to directly-constructed ones
+        cfg_dict["conf_range"] = tuple(cfg_dict["conf_range"])
+        cfg = SigMPConfig(**cfg_dict)
         return cls(step.call, prescan.call, params, cfg, manifest)
 
     def reset_states(self):
