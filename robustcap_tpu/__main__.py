@@ -68,7 +68,11 @@ def cmd_latency(args):
 
 def cmd_live_server(args):
     from robustcap_tpu.streaming import run_live_demo
-    run_live_demo(_load_params(args))
+    if getattr(args, "bundle", None):
+        from robustcap_tpu.serving import ServingBundle
+        run_live_demo(net=ServingBundle.load(args.bundle))
+    else:
+        run_live_demo(_load_params(args))
 
 
 def cmd_imu_bridge(args):
@@ -186,6 +190,8 @@ def main(argv=None):
 
     ps = sub.add_parser("live-server", help="live inference server")
     ps.add_argument("--weights")
+    ps.add_argument("--bundle",
+                    help="serve a precompiled AOT bundle (export subcommand)")
     ps.set_defaults(fn=cmd_live_server)
 
     pb = sub.add_parser("imu-bridge", help="BLE IMU -> UDP bridge")

@@ -25,13 +25,22 @@ __all__ = ["LiveServer", "run_live_demo"]
 
 
 class LiveServer:
-    r"""Stateful live-inference engine (transport-free core, testable)."""
+    r"""Stateful live-inference engine (transport-free core, testable).
 
-    def __init__(self, params, model: Optional[ParametricModel] = None,
-                 cfg: Optional[SigMPConfig] = None):
-        model = model or default_body_model()
-        cfg = cfg or SigMPConfig.live_mode()
-        self.net = sig_mp.StreamingNet(params, model, cfg)
+    ``net`` may be passed directly instead of ``params`` — anything with the
+    ``forward_online``/``reset_states`` API works, notably a loaded AOT
+    ``ServingBundle`` (robustcap_tpu/serving.py), so the live process can
+    run a precompiled artifact without the model code path."""
+
+    def __init__(self, params=None, model: Optional[ParametricModel] = None,
+                 cfg: Optional[SigMPConfig] = None, net=None):
+        if net is None:
+            if params is None:
+                raise ValueError("pass params or a net")
+            model = model or default_body_model()
+            cfg = cfg or SigMPConfig.live_mode()
+            net = sig_mp.StreamingNet(params, model, cfg)
+        self.net = net
         self.first = True
         self.tran_offset = None
 
@@ -64,11 +73,12 @@ class LiveServer:
         return pose_aa, tran_w
 
 
-def run_live_demo(params, model=None, cfg: Optional[SigMPConfig] = None,
-                  live: LiveConfig = LiveConfig(), max_frames=None):
+def run_live_demo(params=None, model=None, cfg: Optional[SigMPConfig] = None,
+                  live: LiveConfig = LiveConfig(), max_frames=None,
+                  net=None):
     r"""Socket loop (live_server.py:24-68): accept a Unity client on TCP
     :8888, then consume detector UDP packets on :9999 and stream frames."""
-    engine = LiveServer(params, model, cfg)
+    engine = LiveServer(params, model, cfg, net=net)
 
     srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
     srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)

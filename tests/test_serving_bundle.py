@@ -106,3 +106,29 @@ def test_quantized_bundle(world, tmp_path):
                                     first_frame=(t == 0))
         np.testing.assert_allclose(np.asarray(pb), np.asarray(pn), atol=1e-5)
         np.testing.assert_allclose(np.asarray(tb), np.asarray(tn), atol=1e-5)
+
+
+def test_live_server_runs_on_bundle(world, tmp_path):
+    r"""The live engine (transport-free core) accepts a loaded bundle as its
+    net — the serving process needs no model code path."""
+    from robustcap_tpu.streaming.server import LiveServer
+
+    model, params = world
+    path = str(tmp_path / "bundle")
+    export_serving_bundle(params, model, SigMPConfig.live_mode(), path,
+                          platforms=("cpu",))
+    engine = LiveServer(net=ServingBundle.load(path))
+    rng = np.random.RandomState(2)
+    uv = np.concatenate([rng.randn(33, 2) * 0.1,
+                         np.full((33, 1), 0.95)], 1).astype(np.float32)
+    ori = np.broadcast_to(np.eye(3, dtype=np.float32), (6, 3, 3)).copy()
+    acc = rng.randn(6, 3).astype(np.float32)
+    rcm = np.eye(3, dtype=np.float32)
+    for _ in range(3):
+        pose_aa, tran = engine.process(uv, ori, acc, rcm)
+        assert pose_aa.shape == (24, 3)
+        assert np.all(np.isfinite(pose_aa)) and np.all(np.isfinite(tran))
+    # frame 1 zeroes the world translation at the start position
+    engine.reset()
+    _, tran0 = engine.process(uv, ori, acc, rcm)
+    np.testing.assert_allclose(tran0, 0.0, atol=1e-6)
