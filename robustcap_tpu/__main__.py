@@ -49,17 +49,23 @@ def cmd_eval(args):
                       ("mpjpe", "pve", "pampjpe", "tran_error")}))
 
 
+def _int8_mode(params, cfg):
+    r"""Quantize weights and flip the int8-MXU flag on ``cfg`` (the shared
+    --int8-compute CLI handling)."""
+    import dataclasses
+    from robustcap_tpu.nn.rnn import quantize_params
+    return quantize_params(params), dataclasses.replace(cfg,
+                                                        int8_compute=True)
+
+
 def cmd_latency(args):
+    from robustcap_tpu.config import SigMPConfig
     from robustcap_tpu.smpl import default_body_model
     from robustcap_tpu.streaming import measure_streaming_latency
     params = _load_params(args)
     cfg = None
-    if getattr(args, "int8_compute", False):
-        import dataclasses
-        from robustcap_tpu.config import SigMPConfig
-        from robustcap_tpu.nn.rnn import quantize_params
-        params = quantize_params(params)
-        cfg = dataclasses.replace(SigMPConfig.live_mode(), int8_compute=True)
+    if args.int8_compute:
+        params, cfg = _int8_mode(params, SigMPConfig.live_mode())
     stats = measure_streaming_latency(params, default_body_model(), cfg=cfg,
                                       n_frames=args.frames,
                                       trace_dir=args.trace_dir)
@@ -68,7 +74,7 @@ def cmd_latency(args):
 
 def cmd_live_server(args):
     from robustcap_tpu.streaming import run_live_demo
-    if getattr(args, "bundle", None):
+    if args.bundle:
         from robustcap_tpu.serving import ServingBundle
         run_live_demo(net=ServingBundle.load(args.bundle))
     else:
@@ -147,7 +153,6 @@ def cmd_quantize(args):
 def cmd_export(args):
     r"""AOT-export the streaming step to a serving bundle (StableHLO via
     jax.export + weights + config manifest; robustcap_tpu/serving.py)."""
-    import dataclasses
     from robustcap_tpu.config import SigMPConfig
     from robustcap_tpu.serving import export_serving_bundle
     from robustcap_tpu.smpl import default_body_model
@@ -155,9 +160,7 @@ def cmd_export(args):
     params = _load_params(args)
     cfg = SigMPConfig.live_mode() if args.live else SigMPConfig()
     if args.int8_compute:
-        from robustcap_tpu.nn.rnn import quantize_params
-        params = quantize_params(params)
-        cfg = dataclasses.replace(cfg, int8_compute=True)
+        params, cfg = _int8_mode(params, cfg)
     manifest = export_serving_bundle(
         params, default_body_model(), cfg, args.out,
         platforms=(tuple(args.platforms.split(","))

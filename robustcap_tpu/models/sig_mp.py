@@ -41,9 +41,8 @@ import numpy as np
 from .. import math as M
 from ..math.spatial import mat3_mul
 from ..config import (IMU_JOINT_MASK, MP_VERTEX_MASK, SigMPConfig, VEL_SCALE)
-from ..nn.rnn import (dequantize_non_gate_params, dequantize_params,
-                      init_net_apply, init_rnn_params, init_state,
-                      rnn_params_from_torch)
+from ..nn.rnn import (init_net_apply, init_rnn_params, init_state,
+                      prepare_scan_params, rnn_params_from_torch)
 from ..nn.rnn import rnn_step as _rnn_step
 from ..smpl.model import ParametricModel
 
@@ -613,10 +612,7 @@ def forward_offline(params, body_model, cfg, j2dc, accc, oric,
     foot-contact probabilities [T, 2] are returned too (the head the
     reference computes but never exposes, sig_mp.py:170).
     """
-    # long scan: hoist the int8 dequant — fully when exact, non-gate
-    # leaves only when the int8-MXU mode keeps gate weights int8 in-loop
-    params = (dequantize_non_gate_params(params) if cfg.int8_compute
-              else dequantize_params(params))
+    params = prepare_scan_params(params, cfg.int8_compute)  # hoist dequant
     step = make_step(body_model, cfg, include_first_frame_step=False,
                      output_contacts=return_contacts)
     frames = _sequence_frames(j2dc, accc, oric, first_tran, first_frame,
@@ -634,8 +630,7 @@ def forward_offline_batched(params, body_model, cfg, frames_batched,
     pytrees [B, T, ...]. Padded frames still execute (static shapes) but
     callers mask outputs past ``lengths``; hidden-state pollution after a
     sequence's end never flows back into valid frames."""
-    params = (dequantize_non_gate_params(params) if cfg.int8_compute
-              else dequantize_params(params))  # long scan: hoist int8 dequant
+    params = prepare_scan_params(params, cfg.int8_compute)  # hoist dequant
     step = make_step(body_model, cfg, include_first_frame_step=False)
 
     def run_one(frames):
@@ -704,10 +699,7 @@ class StreamingNet:
             @partial(jax.jit, donate_argnums=(1,))
             def run(params, carry, frames):
                 # chunk = a scan: hoist int8 dequant like the offline paths
-                # (gate weights stay int8 in-loop under int8_compute)
-                params = (dequantize_non_gate_params(params)
-                          if self.cfg.int8_compute
-                          else dequantize_params(params))
+                params = prepare_scan_params(params, self.cfg.int8_compute)
                 return jax.lax.scan(partial(step, params), carry, frames)
 
             self._chunk_fns[K] = run

@@ -31,7 +31,7 @@ __all__ = [
     "init_net_apply", "rnn_params_from_torch", "cast_params",
     "quantize_tensor", "dequantize_tensor", "quantize_params",
     "dequantize_params", "dequantize_non_gate_params", "is_quantized",
-    "quantize_activation",
+    "quantize_activation", "prepare_scan_params",
     "pure_rnn_params_from_torch", "pure_rnn_forward_padded",
     "cycle_rnn_params_from_torch", "cycle_rnn_forward_padded",
 ]
@@ -197,11 +197,20 @@ def dequantize_non_gate_params(params, dtype=jnp.bfloat16):
             return {k: walk(v, under_layers or k == "layers")
                     for k, v in node.items()}
         if isinstance(node, (list, tuple)):
-            t = [walk(v, under_layers) for v in node]
-            return type(node)(t) if not isinstance(node, tuple) else tuple(t)
+            return type(node)(walk(v, under_layers) for v in node)
         return node
 
     return walk(params)
+
+
+def prepare_scan_params(params, int8_compute: bool = False,
+                        dtype=jnp.bfloat16):
+    r"""The one definition of "ready for a long scan": exact modes
+    dequantize every int8 weight up front (in-loop dequant is the pattern
+    XLA does not reliably hoist); the int8-MXU mode dequantizes only the
+    non-gate leaves, keeping gate weights int8 in-loop for ``_qmatmul``."""
+    return (dequantize_non_gate_params(params, dtype) if int8_compute
+            else dequantize_params(params, dtype))
 
 
 def _wval(w, dtype):
@@ -374,13 +383,10 @@ def rnn_scan(params, xs, state0=None, *, dropout: float = 0.0,
     linears are dequantized once up front; otherwise quantized weights are
     dequantized once, before the scan. ``int8_compute`` is inference-only
     (the activation rounding has no useful gradient) and rejects dropout."""
-    if int8_compute:
-        if dropout > 0.0 and rng is not None:
-            raise ValueError("int8_compute is inference-only; dropout "
-                             "training must use the dense path")
-        params = dequantize_non_gate_params(params)
-    else:
-        params = dequantize_params(params)
+    if int8_compute and dropout > 0.0 and rng is not None:
+        raise ValueError("int8_compute is inference-only; dropout "
+                         "training must use the dense path")
+    params = prepare_scan_params(params, int8_compute)
     if state0 is None:
         state0 = init_state(params, xs.shape[1:-1], xs.dtype)
     T = xs.shape[0]
@@ -577,7 +583,6 @@ def cycle_rnn_forward_padded(params, xs, lengths, pred_weight: float = 1.0):
     B = xs.shape[1]
     h0, c0 = init_state(params, (B,), xs.dtype)
     prev0 = xs[0, :, -out_size:]
-    t_idx = jnp.asarray(0)
 
     def body(state, x):
         h, c, prev, t = state
@@ -592,5 +597,6 @@ def cycle_rnn_forward_padded(params, xs, lengths, pred_weight: float = 1.0):
         prev_new = jnp.where(active, out, prev)
         return (h_new, c_new, prev_new, t + 1), jnp.where(active, out, 0.0)
 
-    (_, _, _, _), ys = jax.lax.scan(body, (h0, c0, prev0, t_idx), xs)
+    (_, _, _, _), ys = jax.lax.scan(body, (h0, c0, prev0, jnp.asarray(0)),
+                                    xs)
     return ys
