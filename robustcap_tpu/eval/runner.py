@@ -98,7 +98,10 @@ def run_sequences(params, body_model: ParametricModel, cfg: SigMPConfig,
     r"""Run the fusion net over all sequences; returns per-sequence
     (pose [T, 24, 3, 3], tran [T, 3]) trimmed to true lengths, in input
     order."""
+    from ..nn.rnn import prepare_scan_params
+
     results: List = [None] * len(seqs)
+    params = prepare_scan_params(params, cfg.int8_compute)  # hoist dequant
     run = _make_batched_fn(body_model, cfg, mesh)
     n_dev = mesh.devices.size if mesh is not None else 1
     # two-phase: dispatch every bucket first (jax dispatch is async, so the
