@@ -1,0 +1,111 @@
+r"""Quantization quality report for a checkpoint.
+
+Serving diagnostic: for each RNN module of the sig_mp bank, reports the
+int8 weight round-trip error and the end-to-end output deviation of the
+quantized modes (weight-only, and the dynamic-activation int8-MXU compute
+mode) against f32 on a synthetic sequence. Prints one JSON document.
+
+Usage::
+
+    python tools/quant_report.py [--weights W.pkl|.pt] [--frames N] [--cpu]
+"""
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--weights", help="checkpoint (.pt or pytree pickle); "
+                                      "random full-size bank if omitted")
+    ap.add_argument("--frames", type=int, default=64)
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (before any device use)")
+    args = ap.parse_args(argv)
+
+    import jax
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+    import numpy as np
+
+    import robustcap_tpu.math as M
+    from robustcap_tpu.config import SigMPConfig
+    from robustcap_tpu.models import sig_mp
+    from robustcap_tpu.nn.rnn import (dequantize_tensor, quantize_params,
+                                      quantize_tensor, rnn_scan)
+    from robustcap_tpu.smpl import ParametricModel, synthetic_smpl_data
+
+    if args.weights:
+        if args.weights.endswith(".pt"):
+            params = sig_mp.load_torch_checkpoint(args.weights)
+        else:
+            from robustcap_tpu.train import load_pytree
+            params = load_pytree(args.weights)
+    else:
+        params = sig_mp.init_params(jax.random.PRNGKey(0))
+
+    # -- per-module weight round-trip + scan deviation ----------------------
+    rng = np.random.RandomState(0)
+    modules = {}
+    for name, mod in params.items():
+        werrs = []
+        for layer in mod["layers"]:
+            for key in ("w_ih", "w_hh"):
+                w = np.asarray(layer[key], np.float32)
+                back = np.asarray(dequantize_tensor(quantize_tensor(w),
+                                                    jnp.float32))
+                werrs.append(float(np.abs(back - w).max()))
+        in_size = mod["linear1"]["w"].shape[1]
+        xs = jnp.asarray(rng.randn(args.frames, 1, in_size), jnp.float32)
+        y_f, _ = rnn_scan(mod, xs)
+        qmod = quantize_params(mod)
+        y_w8, _ = rnn_scan(qmod, xs)
+        y_i8, _ = rnn_scan(qmod, xs, int8_compute=True)
+        scale = float(jnp.max(jnp.abs(y_f))) or 1.0
+        modules[name] = {
+            "weight_rt_max_abs": round(max(werrs), 6),
+            "w8_rel_max": round(float(jnp.max(jnp.abs(y_w8 - y_f))) / scale, 5),
+            "int8c_rel_max": round(float(jnp.max(jnp.abs(y_i8 - y_f))) / scale,
+                                   5),
+        }
+
+    # -- full fusion-step trajectory deviation ------------------------------
+    model = ParametricModel(data=synthetic_smpl_data())
+    T = args.frames
+    j2dc = (rng.randn(T, 33, 3) * 0.1).astype(np.float32)
+    j2dc[..., 2] = np.clip(rng.uniform(0.3, 1.0, (T, 1)), 0, 1)
+    accc = rng.randn(T, 6, 3).astype(np.float32)
+    aa = (rng.randn(T * 6, 3) * 0.2).astype(np.float32)
+    oric = np.asarray(M.axis_angle_to_rotation_matrix(jnp.asarray(aa))
+                      ).reshape(T, 6, 3, 3).astype(np.float32)
+
+    def run(p, cfg):
+        pose, tran = sig_mp.forward_offline(p, model, cfg, j2dc, accc, oric,
+                                            first_frame=True)
+        return np.asarray(pose), np.asarray(tran)
+
+    pose_f, tran_f = run(params, SigMPConfig())
+    qparams = quantize_params(params)
+    pose_w8, tran_w8 = run(qparams, SigMPConfig())
+    pose_i8, tran_i8 = run(qparams, SigMPConfig(int8_compute=True))
+
+    def dev(p, t):
+        return {"pose_max": round(float(np.abs(p - pose_f).max()), 5),
+                "pose_mean": round(float(np.abs(p - pose_f).mean()), 6),
+                "tran_max_m": round(float(np.abs(t - tran_f).max()), 5)}
+
+    print(json.dumps({
+        "frames": T,
+        "modules": modules,
+        "trajectory": {"int8_weight_only": dev(pose_w8, tran_w8),
+                       "int8_compute": dev(pose_i8, tran_i8)},
+    }, indent=2))
+
+
+if __name__ == "__main__":
+    main()
