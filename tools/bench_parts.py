@@ -18,7 +18,7 @@ import numpy as np
 def main():
     from robustcap_tpu.config import SigMPConfig
     from robustcap_tpu.models import sig_mp
-    from robustcap_tpu.nn.rnn import rnn_scan, cast_params
+    from robustcap_tpu.nn.rnn import cast_params, quantize_params, rnn_scan
     from robustcap_tpu.smpl import ParametricModel, synthetic_smpl_data
 
     B = int(os.environ.get("B", 512))
@@ -27,8 +27,11 @@ def main():
 
     model = ParametricModel(data=synthetic_smpl_data())
     params = sig_mp.init_params(jax.random.PRNGKey(0))
+    int8c = dtype == "int8c"
     if dtype == "bf16":
         params = cast_params(params, jnp.bfloat16)
+    elif dtype in ("int8", "int8c"):
+        params = quantize_params(params)
 
     rng = np.random.RandomState(0)
     j2dc = (rng.randn(B, T, 33, 3) * 0.1).astype(np.float32)
@@ -55,11 +58,13 @@ def main():
         return (time.perf_counter() - t0) / reps
 
     variants = {
-        "full": SigMPConfig(),
+        "full": SigMPConfig(int8_compute=int8c),
         "no_updaters": SigMPConfig(use_vision_updater=False,
-                                   use_imu_updater=False),
-        "no_vision_updater": SigMPConfig(use_vision_updater=False),
-        "no_floor": SigMPConfig(use_flat_floor=False),
+                                   use_imu_updater=False,
+                                   int8_compute=int8c),
+        "no_vision_updater": SigMPConfig(use_vision_updater=False,
+                                         int8_compute=int8c),
+        "no_floor": SigMPConfig(use_flat_floor=False, int8_compute=int8c),
     }
     for name, cfg in variants.items():
         fn = jax.jit(lambda p, f, cfg=cfg:
@@ -76,7 +81,7 @@ def main():
         for name, insize in [("rnn2", 72), ("rnn3", 141), ("rnn4", 171),
                              ("rnn6", 240), ("rnn7", 141), ("rnn8", 141)]:
             x = jnp.zeros((T, B, insize), xs.dtype) + xs[..., :1]
-            outs.append(rnn_scan(params[name], x)[0])
+            outs.append(rnn_scan(params[name], x, int8_compute=int8c)[0])
         return [o.sum() for o in outs]
 
     dt = timeit(jax.jit(lstm_only), params, xs)
