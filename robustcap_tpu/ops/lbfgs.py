@@ -41,7 +41,8 @@ def _cubic_interpolate(x1, f1, g1, x2, f2, g2, lo, hi):
 
 class _LSState(NamedTuple):
     it: jnp.ndarray
-    done: jnp.ndarray
+    done: jnp.ndarray        # loop stop (Wolfe point found OR bracket converged)
+    wolfe: jnp.ndarray       # strong Wolfe satisfied at ``t``
     # current trial
     t: jnp.ndarray
     f_new: jnp.ndarray
@@ -110,7 +111,7 @@ def _strong_wolfe(value_and_grad_t: Callable, f0, g0, gtd0, t_init,
 
             keep_bracketing = ~(enter_zoom | done)
             return _LSState(
-                it=s.it + 1, done=done,
+                it=s.it + 1, done=done, wolfe=done,
                 t=jnp.where(keep_bracketing, t_next, s.t),
                 f_new=jnp.where(keep_bracketing, f_n, s.f_new),
                 g_new=jnp.where(keep_bracketing, g_n, s.g_new),
@@ -167,7 +168,7 @@ def _strong_wolfe(value_and_grad_t: Callable, f0, g0, gtd0, t_init,
             done = wolfe_ok & ~armijo_fail
             converged = (xmax - xmin) * 1.0 < tol_change
             return s._replace(
-                it=s.it + 1, done=done | converged,
+                it=s.it + 1, done=done | converged, wolfe=done,
                 t=jnp.where(done, t_new, jnp.where(armijo_fail, s.t, t_new)),
                 f_new=jnp.where(done | ~armijo_fail, f_n, s.f_new),
                 g_new=jnp.where(done | ~armijo_fail, g_n, s.g_new),
@@ -177,19 +178,30 @@ def _strong_wolfe(value_and_grad_t: Callable, f0, g0, gtd0, t_init,
 
         return jax.lax.cond(s.bracketing, bracket_phase, zoom_phase, s)
 
-    zeros_g = jnp.zeros_like(g0)
     init = _LSState(
-        it=jnp.asarray(0), done=jnp.asarray(False),
+        it=jnp.asarray(0), done=jnp.asarray(False), wolfe=jnp.asarray(False),
         t=jnp.asarray(t_init, f0.dtype), f_new=f_t, g_new=g_t, gtd_new=gtd_t,
         t_prev=jnp.zeros_like(f0), f_prev=f0, gtd_prev=gtd0, g_prev=g0,
         bracketing=jnp.asarray(True),
         bl_t=jnp.zeros_like(f0), bl_f=f0, bl_g=g0, bl_gtd=gtd0,
         bh_t=jnp.asarray(t_init, f0.dtype), bh_f=f_t, bh_g=g_t, bh_gtd=gtd_t)
     out = jax.lax.while_loop(cond, body, init)
-    # if the search never terminated, fall back to the best bracket-low point
-    t = jnp.where(out.done, out.t,
-                  jnp.where(out.bracketing, out.t, out.bl_t))
-    f, g, _ = value_and_grad_t(t)
+    # Exit selection (mirrors torch returning bracket[low_pos]): a Wolfe
+    # point returns itself; any other exit — bracket width converged, zoom
+    # iterations exhausted, or bracketing exhausted (torch treats that as
+    # the bracket [0, t]) — returns the LOWEST-f candidate, never a stale
+    # armijo-failing trial.
+    cand_lo_t = jnp.where(out.bracketing, jnp.zeros_like(out.t), out.bl_t)
+    cand_lo_f = jnp.where(out.bracketing, f0, out.bl_f)
+    cand_hi_t = jnp.where(out.bracketing, out.t, out.bh_t)
+    cand_hi_f = jnp.where(out.bracketing, out.f_new, out.bh_f)
+    t_best = jnp.where(cand_lo_f <= cand_hi_f, cand_lo_t, cand_hi_t)
+    t = jnp.where(out.wolfe, out.t, t_best)
+    # the Wolfe exit already holds (f, g) at t — skip the re-evaluation then
+    f, g, _ = jax.lax.cond(
+        out.wolfe,
+        lambda _: (out.f_new, out.g_new, out.gtd_new),
+        value_and_grad_t, t)
     return t, f, g
 
 
@@ -202,7 +214,10 @@ class _LBFGSState(NamedTuple):
     s_hist: jnp.ndarray   # [m, n]
     y_hist: jnp.ndarray   # [m, n]
     rho: jnp.ndarray      # [m]
-    n_hist: jnp.ndarray
+    n_stored: jnp.ndarray  # TOTAL (s, y) pairs ever stored — the ring cursor.
+    # Iterations whose curvature pair is rejected (ys <= 0) do not advance
+    # it, so ring indexing follows pairs actually stored, like torch's
+    # old_dirs list, never the iteration counter.
     it: jnp.ndarray
     done: jnp.ndarray
 
@@ -225,8 +240,8 @@ def lbfgs_minimize(fun: Callable, x0: jnp.ndarray, max_iter: int = 20,
     def direction(state: _LBFGSState):
         r"""Two-loop recursion over the ring history."""
         q = -state.g
-        idx = (state.it - 1 - jnp.arange(m)) % m     # newest-to-oldest
-        valid = jnp.arange(m) < state.n_hist
+        idx = (state.n_stored - 1 - jnp.arange(m)) % m   # newest-to-oldest
+        valid = jnp.arange(m) < jnp.minimum(state.n_stored, m)
 
         def bwd(i, carry):
             q, alphas = carry
@@ -238,11 +253,12 @@ def lbfgs_minimize(fun: Callable, x0: jnp.ndarray, max_iter: int = 20,
 
         q, alphas = jax.lax.fori_loop(0, m, bwd, (q, jnp.zeros(m, x0.dtype)))
 
-        # H0 scaling: gamma = s·y / y·y of the most recent pair
-        last = (state.it - 1) % m
+        # H0 scaling: gamma = s·y / y·y of the most recently STORED pair
+        last = (state.n_stored - 1) % m
         ys = jnp.dot(state.s_hist[last], state.y_hist[last])
         yy = jnp.dot(state.y_hist[last], state.y_hist[last])
-        gamma = jnp.where(state.n_hist > 0, ys / jnp.maximum(yy, 1e-10), 1.0)
+        gamma = jnp.where(state.n_stored > 0, ys / jnp.maximum(yy, 1e-10),
+                          1.0)
         r = q * gamma
 
         def fwd(i, r):
@@ -266,7 +282,8 @@ def lbfgs_minimize(fun: Callable, x0: jnp.ndarray, max_iter: int = 20,
 
     def _body_inner(state: _LBFGSState):
         it = state.it
-        d = jax.lax.cond(it == 0, lambda s: -s.g, direction, state)
+        d = jax.lax.cond(state.n_stored == 0, lambda s: -s.g, direction,
+                         state)
         gtd = jnp.dot(state.g, d)
         t0 = jnp.where(it == 0,
                        jnp.minimum(1.0, 1.0 / jnp.sum(jnp.abs(state.g))) * lr,
@@ -284,14 +301,13 @@ def lbfgs_minimize(fun: Callable, x0: jnp.ndarray, max_iter: int = 20,
         y_vec = g_new - state.g
         ys = jnp.dot(s_vec, y_vec)
         keep = ys > 1e-10
-        slot = it % m
+        slot = state.n_stored % m
         s_hist = jnp.where(keep, state.s_hist.at[slot].set(s_vec),
                            state.s_hist)
         y_hist = jnp.where(keep, state.y_hist.at[slot].set(y_vec),
                            state.y_hist)
         rho = jnp.where(keep, state.rho.at[slot].set(1.0 / ys), state.rho)
-        n_hist = jnp.where(keep, jnp.minimum(state.n_hist + 1, m),
-                           state.n_hist)
+        n_stored = state.n_stored + keep
 
         done = (jnp.max(jnp.abs(g_new)) <= tolerance_grad) \
             | (jnp.max(jnp.abs(s_vec)) <= tolerance_change) \
@@ -299,12 +315,12 @@ def lbfgs_minimize(fun: Callable, x0: jnp.ndarray, max_iter: int = 20,
             | (gtd > -tolerance_change)
         return _LBFGSState(x=x_new, f=f_new, g=g_new, d=d, t=t,
                            s_hist=s_hist, y_hist=y_hist, rho=rho,
-                           n_hist=n_hist, it=it + 1, done=done)
+                           n_stored=n_stored, it=it + 1, done=done)
 
     init = _LBFGSState(
         x=x0, f=f0, g=g0, d=-g0, t=jnp.asarray(lr, x0.dtype),
         s_hist=jnp.zeros((m, n), x0.dtype), y_hist=jnp.zeros((m, n), x0.dtype),
-        rho=jnp.zeros(m, x0.dtype), n_hist=jnp.asarray(0),
+        rho=jnp.zeros(m, x0.dtype), n_stored=jnp.asarray(0),
         it=jnp.asarray(0),
         done=jnp.max(jnp.abs(g0)) <= tolerance_grad)
     out = jax.lax.while_loop(cond, body, init)

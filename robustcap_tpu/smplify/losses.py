@@ -36,7 +36,7 @@ def temporal_body_fitting_loss(body_pose, model_joints, joints_2d,
                                angle_prior_weight=15.2,
                                smooth_2d_weight=0.01, smooth_3d_weight=1.0,
                                body_3d_weight=1.0, imu_ori_weight=0.5,
-                               output="sum"):
+                               output="sum", frame_mask=None):
     r"""Sequence fitting loss (losses.py:23-91).
 
     body_pose [B, 72] axis-angle, model_joints [B, 33, 3] synthesized
@@ -44,6 +44,11 @@ def temporal_body_fitting_loss(body_pose, model_joints, joints_2d,
     joints_conf [B, 33], body_3d_joint [B, 33, 3] the network's initial
     landmarks (consistency target), imu_ori [B, 6, 3, 3] measured,
     ori [B, ..., 6, 3, 3] FK orientations at the IMU joints.
+
+    ``frame_mask`` [B] zeroes padded frames out of the scalar objective
+    entirely (priors/3-D/IMU terms included — confidence weighting alone
+    only covers the reprojection and smoothness terms), so a padded
+    sequence optimizes exactly like its unpadded self.
     """
     B = body_pose.shape[0]
     # root-relative 3-D consistency with the initial prediction
@@ -82,6 +87,8 @@ def temporal_body_fitting_loss(body_pose, model_joints, joints_2d,
     total = total + (smooth_2d_weight ** 2) * s2d + (smooth_3d_weight ** 2) * s3d
 
     if output == "sum":
+        if frame_mask is not None:
+            total = total * frame_mask
         return total.sum()
     if output == "reprojection":
         return reproj

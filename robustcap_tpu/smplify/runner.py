@@ -75,7 +75,6 @@ class TemporalSMPLify:
         self.num_iters = num_iters
         self.use_lbfgs = use_lbfgs
         self.max_iter = max_iter
-        self.batch_size = batch_size
         self.shape = None if shape is None else jnp.asarray(shape)
         self.ign = IGN_MP_JOINTS_HEAD if use_head else IGN_MP_JOINTS
 
@@ -93,13 +92,11 @@ class TemporalSMPLify:
         pose_R = M.axis_angle_to_rotation_matrix(
             body_pose_aa.reshape(-1, 3)).reshape(B, 24, 3, 3)
         gp, model_joints = self._landmarks(pose_R, tran)
-        loss = temporal_body_fitting_loss(
+        return temporal_body_fitting_loss(
             body_pose_aa, model_joints, joints_2d,
             joints_conf * mask[:, None], self.prior, self.cam_k,
-            self._target_3d, imu_ori, gp[:, _JI_MASK], output=output)
-        if output == "sum":
-            return loss
-        return loss  # [B, 33] reprojection
+            self._target_3d, imu_ori, gp[:, _JI_MASK], output=output,
+            frame_mask=mask)
 
     # -- public API ---------------------------------------------------------
 
@@ -143,9 +140,21 @@ class TemporalSMPLify:
             return self._loss(bp, tr, joints_2d, conf, self.imu_ori, mask)
 
         x = x0
-        for _ in range(self.num_iters):
-            x, _, _ = lbfgs_minimize(loss_flat, x, max_iter=self.max_iter,
-                                     lr=self.step_size)
+        if self.use_lbfgs:
+            for _ in range(self.num_iters):
+                x, _, _ = lbfgs_minimize(loss_flat, x,
+                                         max_iter=self.max_iter,
+                                         lr=self.step_size)
+        else:
+            # the reference's alternate branch: plain Adam steps
+            # (temporal_smplify.py:170-186, lr=step_size, betas=(0.9, 0.999))
+            import optax
+            tx = optax.adam(self.step_size, b1=0.9, b2=0.999)
+            opt_state = tx.init(x)
+            grad_fn = jax.grad(loss_flat)
+            for _ in range(self.num_iters):
+                updates, opt_state = tx.update(grad_fn(x), opt_state, x)
+                x = optax.apply_updates(x, updates)
         body_pose = x[:B * 72].reshape(B, 72)
         tran = x[B * 72:].reshape(B, 3)
         reproj = self._loss(body_pose, tran, joints_2d, conf, self.imu_ori,
@@ -206,7 +215,7 @@ def make_smplify_fit(model: ParametricModel, prior: MaxMixturePrior,
             gp, mj = landmarks(pose_R, tr)
             return temporal_body_fitting_loss(
                 bp, mj, kp_px[..., :2], conf, prior, cam_k, target_3d,
-                imu_ori, gp[:, _JI_MASK], output="sum")
+                imu_ori, gp[:, _JI_MASK], output="sum", frame_mask=mask)
 
         x = jnp.concatenate([body_pose0.reshape(-1), tran0.reshape(-1)])
         for _ in range(num_iters):
@@ -283,18 +292,25 @@ def refine_sequences_batched(results, seqs, lr: float = 0.001,
     for L, idxs in lengths.items():
         for g in range(0, len(idxs), group_size):
             group = idxs[g:g + group_size]
+            # pad the final group's lanes up to group_size (duplicate last
+            # entry, all-zero loss mask -> the lane converges immediately):
+            # one compiled lane count per bucket length, never a retrace on
+            # a remainder-sized group
+            n_real = len(group)
+            lanes = group + [group[-1]] * (group_size - n_real)
             pose0 = np.stack([_pad_to(np.asarray(results[i][0], np.float32),
-                                      L) for i in group])
+                                      L) for i in lanes])
             tran0 = np.stack([_pad_to(np.asarray(results[i][1], np.float32),
-                                      L) for i in group])
+                                      L) for i in lanes])
             kp = np.stack([_pad_to(np.asarray(seqs[i].j2dc_px, np.float32),
-                                   L) for i in group])
+                                   L) for i in lanes])
             ori = np.stack([_pad_to(np.asarray(seqs[i].oric, np.float32), L)
-                            for i in group])
+                            for i in lanes])
             cam = np.stack([np.asarray(seqs[i].cam_K, np.float32)
-                            for i in group])
+                            for i in lanes])
             mask = np.stack([(np.arange(L) < seqs[i].length)
-                             .astype(np.float32) for i in group])
+                             .astype(np.float32) for i in lanes])
+            mask[n_real:] = 0.0
             pose_R, tr, before, after = vfit(
                 jnp.asarray(pose0), jnp.asarray(tran0), jnp.asarray(kp),
                 jnp.asarray(ori), jnp.asarray(cam), jnp.asarray(mask))
@@ -335,8 +351,8 @@ def smplify_runner(pred_pose, pred_tran, j2dc, imu_ori, batch_size, cam_k,
     mask = jnp.asarray(np.arange(L) < T, jnp.float32)
 
     if shape is not None or not use_lbfgs:
-        # uncommon paths (fixed betas / plain-GD request) keep the stateful
-        # object; the reference only ever calls the lbfgs default
+        # uncommon paths (fixed betas / the Adam alternate branch) keep the
+        # stateful object; the reference only ever calls the lbfgs default
         # (evaluate.py:89-90)
         smplify = TemporalSMPLify(cam_k=cam_k, imu_ori=ori, step_size=lr,
                                   batch_size=L, num_iters=opt_steps,

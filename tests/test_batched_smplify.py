@@ -114,3 +114,108 @@ class TestBatchedSmplify:
         for (p, t), (p0, t0) in zip(refined, results):
             np.testing.assert_allclose(p, p0, atol=1e-6)
             np.testing.assert_allclose(t, t0, atol=1e-6)
+
+    def test_padding_does_not_change_objective(self, world):
+        r"""frame_mask removes padded frames from the scalar objective
+        entirely (priors/3-D/IMU terms included, not just the
+        confidence-weighted ones): value and real-frame gradient of the fit
+        objective are identical between a sequence at its exact length and
+        the same sequence padded 2x."""
+        from robustcap_tpu.smplify.losses import temporal_body_fitting_loss
+
+        model, seqs, results = world
+        prior = MaxMixturePrior("/nonexistent")
+        s, r = seqs[0], results[0]
+        T = s.length
+        kp = np.asarray(s.j2dc_px, np.float32)
+        ori = np.asarray(s.oric, np.float32)
+
+        # drive through the real fit objective: value_and_grad of the
+        # flat-vector loss built exactly like make_smplify_fit's
+        import robustcap_tpu.smplify.runner as RN
+
+        def loss_at(pose0, tran0, kp_px, imu, cam_k, mask):
+            B = pose0.shape[0]
+            conf = jnp.asarray(kp_px)[..., 2].at[
+                :, jnp.asarray(RN.IGN_MP_JOINTS)].set(0.0) * mask[:, None]
+            gp0, joints, verts = model.forward_kinematics(
+                jnp.asarray(pose0), tran=jnp.asarray(tran0), calc_mesh=True,
+                vertex_ids=RN._MP_MASK)
+            lm0 = RN._sync_mp3d_batch(verts, joints)
+            target = jax.lax.stop_gradient(lm0)
+            bp0 = M.rotation_matrix_to_axis_angle(
+                jnp.asarray(pose0)).reshape(B, -1)
+            x0 = jnp.concatenate([bp0.reshape(-1),
+                                  jnp.asarray(tran0).reshape(-1)])
+
+            def f(x):
+                bp = x[:B * 72].reshape(B, 72)
+                tr = x[B * 72:].reshape(B, 3)
+                pR = M.axis_angle_to_rotation_matrix(
+                    bp.reshape(-1, 3)).reshape(B, 24, 3, 3)
+                gp, j, v = model.forward_kinematics(
+                    pR, tran=tr, calc_mesh=True, vertex_ids=RN._MP_MASK)
+                mj = RN._sync_mp3d_batch(v, j)
+                return temporal_body_fitting_loss(
+                    bp, mj, jnp.asarray(kp_px)[..., :2], conf, prior,
+                    jnp.asarray(cam_k), target, jnp.asarray(imu),
+                    gp[:, RN._JI_MASK], output="sum", frame_mask=mask)
+
+            val, grad = jax.value_and_grad(f)(x0)
+            return float(val), np.asarray(grad)
+
+        mask_T = jnp.ones(T)
+        vT, gT = loss_at(r[0], r[1], kp, ori, s.cam_K, mask_T)
+        L = 2 * T
+        pad = lambda x: np.concatenate(
+            [x, np.repeat(x[-1:], L - T, axis=0)], axis=0)
+        mask_L = jnp.asarray(np.arange(L) < T, jnp.float32)
+        vL, gL = loss_at(pad(np.asarray(r[0])), pad(np.asarray(r[1])),
+                         pad(kp), pad(ori), s.cam_K, mask_L)
+        assert abs(vL - vT) < 1e-3 * max(1.0, abs(vT))
+        # gradient on the REAL pose/tran coordinates matches; padded
+        # coordinates carry zero gradient
+        gL_pose = gL[:L * 72].reshape(L, 72)
+        gT_pose = gT[:T * 72].reshape(T, 72)
+        np.testing.assert_allclose(gL_pose[:T], gT_pose, rtol=1e-4,
+                                   atol=1e-5 * np.abs(gT_pose).max())
+        assert np.abs(gL_pose[T:]).max() == 0.0
+        gL_tran = gL[L * 72:].reshape(L, 3)
+        assert np.abs(gL_tran[T:]).max() == 0.0
+
+        # and the refined trajectories stay close (LBFGS amplifies float
+        # reduction-order noise across 20 iterations, so not bitwise)
+        exact = smplify_runner(
+            r[0], r[1], s.j2dc_px, s.oric, batch_size=T, cam_k=s.cam_K,
+            lr=0.001, model=model, prior=prior, pad_to_multiple=T)
+        padded = smplify_runner(
+            r[0], r[1], s.j2dc_px, s.oric, batch_size=T, cam_k=s.cam_K,
+            lr=0.001, model=model, prior=prior, pad_to_multiple=2 * T)
+        np.testing.assert_allclose(padded[0], exact[0], atol=0.05)
+        np.testing.assert_allclose(padded[1], exact[1], atol=0.01)
+
+    def test_remainder_group_reuses_compiled_lanes(self, world):
+        r"""A remainder-sized final group pads its lanes to group_size, so
+        one lane count compiles per bucket length (no per-remainder
+        retrace) and results are unchanged."""
+        from robustcap_tpu.smplify import runner as RN
+
+        model, seqs, results = world
+        prior = MaxMixturePrior("/nonexistent")
+        # 4 lanes (2 seqs x 2 cams) with group_size=4 vs group_size=3
+        # (remainder group of 1, padded back up to 3)
+        full = refine_sequences_batched(
+            results, seqs, lr=0.001, model=model, prior=prior,
+            pad_to_multiple=20, group_size=4)
+        key = (id(model), id(prior), False, 20, 0.001, 1, True)
+        split = refine_sequences_batched(
+            results, seqs, lr=0.001, model=model, prior=prior,
+            pad_to_multiple=20, group_size=3)
+        jitted = RN._FIT_CACHE[key]
+        if hasattr(jitted, "_cache_size"):
+            # group sizes 4 and 3 -> exactly two compiled lane counts, even
+            # though the size-3 run dispatched groups of 3 and 1
+            assert jitted._cache_size() == 2
+        for (pf, tf), (ps, ts) in zip(full, split):
+            np.testing.assert_allclose(ps, pf, atol=2e-5)
+            np.testing.assert_allclose(ts, tf, atol=2e-5)

@@ -100,6 +100,36 @@ class TestSMPLify:
         # reprojection improved on most frames
         assert update.mean() > 0.5
 
+    def test_adam_branch_runs_adam(self, world):
+        r"""use_lbfgs=False runs the reference's alternate plain-Adam loop
+        (temporal_smplify.py:170-186) — previously this silently ran LBFGS
+        with the Adam learning rate."""
+        from robustcap_tpu.smplify import smplify_runner
+        model, s = world
+        rng = np.random.RandomState(1)
+        import robustcap_tpu.math as M
+        noise = rng.normal(0, 0.08, (s.length * 24, 3)).astype(np.float32)
+        noise_R = np.asarray(M.axis_angle_to_rotation_matrix(
+            jnp.asarray(noise))).reshape(s.length, 24, 3, 3)
+        pose0 = np.einsum("tjab,tjbc->tjac", s.pose_gt, noise_R)
+        tran0 = s.tran_gt + rng.normal(0, 0.03,
+                                       (s.length, 3)).astype(np.float32)
+        pose_a, tran_a, update = smplify_runner(
+            pose0, tran0, s.j2dc_px, s.oric, batch_size=s.length,
+            cam_k=s.cam_K, lr=0.01, use_lbfgs=False, opt_steps=10,
+            model=model, pad_to_multiple=8)
+        assert pose_a.shape == (s.length, 24, 3, 3)
+        assert np.isfinite(pose_a).all() and np.isfinite(tran_a).all()
+        # 10 small Adam steps move the estimate, but far less than a full
+        # 20-iteration LBFGS fit — i.e. a genuinely different optimizer ran
+        pose_l, _, _ = smplify_runner(
+            pose0, tran0, s.j2dc_px, s.oric, batch_size=s.length,
+            cam_k=s.cam_K, lr=0.001, use_lbfgs=True, opt_steps=1,
+            model=model, pad_to_multiple=8)
+        moved_a = np.abs(pose_a - pose0).max()
+        moved_l = np.abs(pose_l - pose0).max()
+        assert 0 < moved_a < moved_l
+
     def test_gate_skips_when_threshold_exceeded(self, world):
         # note: with the reference weights the GMoF reprojection term
         # saturates at sigma^2 per coordinate, so the default 20000 gate
