@@ -329,6 +329,10 @@ def preprocess_aist(raw_dir: str, out_dir: str, kinds: Sequence[str] = ("test",)
                 if mb is not None:
                     mb = mb[:, :, [1, 0, 2]]   # row/col swap (preprocess.py:65)
                 kp_mb.append(mb)
+                # reference quirk preserved: the MediaPipe cache is ALSO
+                # gated on the minimalbody ignore list (preprocess.py:82
+                # reuses ignore_names2), dropping a view's valid mp
+                # keypoints when only its minimalbody detector failed
                 kp_mp.append(_load_kp_cache(mp_path, 4, T, rng)
                              if use_mb else None)
                 kp_occ.append(_load_kp_cache(occ_path, 4, T, rng)
@@ -433,6 +437,11 @@ def write_not_aligned(raw_dir: str, out_path: Optional[str] = None,
                 raw_dir, "keypoints2d_mp", cname + ".pt"), 4, T, rng)
             if kp is None:
                 continue
+            # reference quirk preserved: the mean runs over ALL frames,
+            # including confidence-0 random placeholders for failed
+            # detections (preprocess.py:524-526,547) — a view with enough
+            # detector misses can be flagged even when geometrically
+            # aligned; masking would change which views the filter drops
             det = kp[..., :2] * np.asarray(img_wh, np.float32)
             R, t = cam_T[cid][:3, :3], cam_T[cid][:3, 3]
             pc = syn3d_w @ R.T + t

@@ -32,6 +32,7 @@ import numpy as np
 
 __all__ = [
     "UUIDS", "PayloadMode", "PAYLOAD_FORMATS", "payload_size",
+    "SHORT_PAYLOAD_MODES", "payload_characteristic",
     "parse_payload", "encode_payload",
     "DeviceInfo", "parse_device_info",
     "DeviceControl", "parse_device_control", "encode_device_control",
@@ -76,6 +77,20 @@ class PayloadMode:
     CUSTOM_MODE_1 = 22
     CUSTOM_MODE_2 = 23
     CUSTOM_MODE_3 = 24
+
+
+# 20-byte modes notify on the SHORT payload characteristic on hardware
+# (xdc.py ShortPayload* classes); everything else in this table rides the
+# medium characteristic.
+SHORT_PAYLOAD_MODES = frozenset({
+    PayloadMode.ORIENTATION_EULER, PayloadMode.ORIENTATION_QUATERNION,
+    PayloadMode.FREE_ACCELERATION})
+
+
+def payload_characteristic(mode: int) -> str:
+    r"""The characteristic a given payload mode's notifications arrive on."""
+    return (UUIDS.short_payload if mode in SHORT_PAYLOAD_MODES
+            else UUIDS.medium_payload)
 
 
 # field name -> (struct fragment, post-processing)
@@ -463,6 +478,10 @@ class DotClient:
                            encode_orientation_reset_control(HEADING_REVERT))
 
     async def start_payload_notify(self, cb: Callable):
+        # subscribe both payload characteristics: short modes (4/5/6)
+        # notify on short_payload on real hardware, the rest on
+        # medium_payload; hardware only ever delivers on one of them
+        await self.t.start_notify(UUIDS.short_payload, cb)
         await self.t.start_notify(UUIDS.medium_payload, cb)
 
     async def start_report_notify(self, cb: Callable):
@@ -570,11 +589,13 @@ class FakeDotTransport:
 
     def pump(self, n: int = 1, dt: float = 1.0 / 60.0):
         r"""Deliver n measurement notifications (no-op unless streaming and
-        a payload callback is subscribed)."""
-        cb = self._notify.get(UUIDS.medium_payload)
+        a payload callback is subscribed). Notifications arrive on the
+        characteristic the selected mode uses on hardware, so a client
+        subscribed to the wrong one receives nothing — like the radio."""
+        mode = self.payload_mode
+        cb = self._notify.get(payload_characteristic(mode))
         if cb is None or not self.streaming:
             return 0
-        mode = self.payload_mode
         sent = 0
         for _ in range(n):
             quat, acc = self._signal_fn(self._frame)

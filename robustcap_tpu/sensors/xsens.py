@@ -22,14 +22,10 @@ import numpy as np
 from ..streaming.native import RingBuffer
 
 __all__ = ["CompleteQuaternionPayload", "parse_complete_quaternion",
-           "encode_complete_quaternion", "XsensDotSet",
-           "PAYLOAD_COMPLETE_QUATERNION"]
+           "encode_complete_quaternion", "XsensDotSet"]
 
-# Xsens DOT BLE UUIDs (public protocol)
-BATTERY_UUID = "15173001-4947-11e9-8646-d663bd873d93"
-MEASUREMENT_CONTROL_UUID = "15172001-4947-11e9-8646-d663bd873d93"
-MEDIUM_PAYLOAD_UUID = "15172003-4947-11e9-8646-d663bd873d93"
-PAYLOAD_COMPLETE_QUATERNION = 3
+# the canonical UUID / payload-mode tables live in xdc_codec (UUIDS,
+# PayloadMode); this module holds only the stream-level driver
 
 _FMT = "<I4f3f"
 
@@ -134,6 +130,7 @@ class XsensDotSet:
         self._cmds: "list" = []
         self._cmd_lock = threading.Lock()
         self._cmd_done = threading.Event()
+        self._cmd_error: Optional[Exception] = None
         self.battery_levels: list = []
         self.reports: list = []
 
@@ -201,10 +198,15 @@ class XsensDotSet:
         if not self._connected:
             raise RuntimeError("not connected; call connect() first")
         self._cmd_done.clear()
+        self._cmd_error = None
         with self._cmd_lock:
             self._cmds.append(cmd)
-        if wait and not self._cmd_done.wait(timeout):
-            raise TimeoutError(f"command {cmd} not processed in {timeout}s")
+        if wait:
+            if not self._cmd_done.wait(timeout):
+                raise TimeoutError(
+                    f"command {cmd} not processed in {timeout}s")
+            if self._cmd_error is not None:
+                raise self._cmd_error
 
     def connect(self, timeout: float = 30.0):
         r"""Connect all sensors and run the event loop in a daemon thread;
@@ -256,23 +258,31 @@ class XsensDotSet:
                     continue
                 if cmd == _CMD_CLOSE:
                     break
-                elif cmd == _CMD_START:
-                    for d in clients:
-                        await d.start_streaming(self._payload_mode)
-                    self._started = True
-                elif cmd == _CMD_STOP:
-                    for d in clients:
-                        await d.stop_streaming()
-                    self._started = False
-                elif cmd == _CMD_RESET_HEADING:
-                    for d in clients:
-                        await d.reset_heading()
-                elif cmd == _CMD_REVERT_HEADING:
-                    for d in clients:
-                        await d.revert_heading_to_default()
-                elif cmd == _CMD_BATTERY:
-                    self.battery_levels = [
-                        (await d.battery()).battery_level for d in clients]
+                try:
+                    if cmd == _CMD_START:
+                        for d in clients:
+                            await d.start_streaming(self._payload_mode)
+                        self._started = True
+                    elif cmd == _CMD_STOP:
+                        for d in clients:
+                            await d.stop_streaming()
+                        self._started = False
+                    elif cmd == _CMD_RESET_HEADING:
+                        for d in clients:
+                            await d.reset_heading()
+                    elif cmd == _CMD_REVERT_HEADING:
+                        for d in clients:
+                            await d.revert_heading_to_default()
+                    elif cmd == _CMD_BATTERY:
+                        self.battery_levels = [
+                            (await d.battery()).battery_level
+                            for d in clients]
+                except Exception as e:
+                    # surface the command's real failure to the waiting
+                    # caller instead of killing the loop thread (which
+                    # would leave _connected stuck and every later
+                    # command timing out)
+                    self._cmd_error = e
                 self._cmd_done.set()
             for tr in transports:
                 if hasattr(tr, "disconnect"):

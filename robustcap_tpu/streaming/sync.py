@@ -95,9 +95,14 @@ def tpose_calibration(flat_sensor_quats: np.ndarray,
             if camera_up_in_cam is None
             else np.asarray(camera_up_in_cam, np.float32))
     up_c = up_c / np.linalg.norm(up_c)
-    # build R_CM: mocap z (up) -> up_c; keep mocap x as close to camera x
+    # build R_CM: mocap z (up) -> up_c; keep mocap x as close to camera x.
+    # When gravity is (near-)parallel to camera x (portrait mount), fall
+    # back to camera y as the guess axis — otherwise the cross product
+    # degenerates to ~0 and the whole calibration silently turns NaN.
     z_c = up_c
     x_guess = np.asarray([1.0, 0, 0], np.float32)
+    if abs(float(np.dot(z_c, x_guess))) > 0.99:
+        x_guess = np.asarray([0.0, 1.0, 0], np.float32)
     y_c = np.cross(z_c, x_guess)
     y_c /= np.linalg.norm(y_c)
     x_c = np.cross(y_c, z_c)

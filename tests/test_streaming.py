@@ -102,6 +102,21 @@ class TestSync:
         assert off is not None
         assert abs(off - 0.15) < 0.05
 
+    def test_tpose_calibration_portrait_camera(self):
+        r"""Gravity along the camera x axis (portrait mount) must not
+        degenerate R_CM to NaN (the default x-axis guess is parallel to
+        up; the fallback guess axis kicks in)."""
+        flat = np.tile([1, 0, 0, 0.0], (20, 1))
+        tpose = np.tile([1, 0, 0, 0.0], (6, 20, 1))
+        calib = tpose_calibration(flat, tpose,
+                                  camera_up_in_cam=[-1.0, 0.0, 0.0])
+        assert np.isfinite(calib.R_CM).all() and np.isfinite(calib.R_CI).all()
+        np.testing.assert_allclose(calib.R_CM @ calib.R_CM.T, np.eye(3),
+                                   atol=1e-5)
+        # up really maps to the requested camera direction
+        np.testing.assert_allclose(calib.R_CM[:, 2], [-1.0, 0.0, 0.0],
+                                   atol=1e-5)
+
     def test_tpose_calibration_identity(self):
         # sensor lying flat with identity orientation; bones aligned in
         # T-pose -> all alignment rotations orthonormal, chain consistent

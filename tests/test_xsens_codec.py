@@ -367,3 +367,70 @@ class TestBridgeOverFakeRadio:
         # the bridge shut the sensor set down
         for tr in transports.values():
             assert tr.pump(1) == 0 or True   # no crash post-shutdown
+
+
+class TestPayloadCharacteristicRouting:
+    def test_short_modes_ride_short_characteristic(self):
+        assert (X.payload_characteristic(X.PayloadMode.ORIENTATION_QUATERNION)
+                == X.UUIDS.short_payload)
+        assert (X.payload_characteristic(X.PayloadMode.FREE_ACCELERATION)
+                == X.UUIDS.short_payload)
+        assert (X.payload_characteristic(X.PayloadMode.COMPLETE_QUATERNION)
+                == X.UUIDS.medium_payload)
+        assert (X.payload_characteristic(X.PayloadMode.RATE_QUANTITIES)
+                == X.UUIDS.medium_payload)
+
+    def test_short_mode_stream_reaches_subscriber(self):
+        r"""Hardware delivers 20-byte modes on the short-payload
+        characteristic; the client subscribes both, and the fake routes by
+        mode like the radio — a medium-only subscription would get
+        nothing."""
+        tr = X.FakeDotTransport()
+        dot = X.DotClient(tr)
+        got = []
+
+        async def go():
+            await dot.start_payload_notify(lambda _, d: got.append(bytes(d)))
+            await dot.start_streaming(X.PayloadMode.ORIENTATION_QUATERNION)
+
+        _run(go())
+        assert tr.pump(3) == 3
+        assert len(got) == 3
+        p = X.parse_payload(X.PayloadMode.ORIENTATION_QUATERNION, got[0])
+        assert "quaternion" in p
+
+    def test_fake_routes_by_mode(self):
+        tr = X.FakeDotTransport()
+        dot = X.DotClient(tr)
+        got = []
+
+        async def subscribe_medium_only():
+            await tr.start_notify(X.UUIDS.medium_payload,
+                                  lambda _, d: got.append(d))
+            await dot.start_streaming(X.PayloadMode.ORIENTATION_QUATERNION)
+
+        _run(subscribe_medium_only())
+        # short mode never arrives on the medium characteristic
+        assert tr.pump(3) == 0
+        assert got == []
+
+
+class TestCommandErrorSurfacing:
+    def test_command_failure_raises_in_caller_and_loop_survives(self):
+        r"""A failing command (heading reset before streaming) raises its
+        REAL error in the calling thread; the event loop keeps serving
+        later commands instead of dying with _connected stuck True."""
+        from robustcap_tpu.sensors import XsensDotSet
+
+        ds = XsensDotSet(["FA:KE:00:00:00:01"],
+                         transport_factory=lambda a: X.FakeDotTransport(a))
+        ds.connect(timeout=10)
+        try:
+            with pytest.raises(RuntimeError, match="requires streaming"):
+                ds.reset_heading()
+            # loop survived: subsequent commands still work
+            ds.start_streaming()
+            ds.reset_heading()          # now valid
+            ds.stop_streaming()
+        finally:
+            ds.shutdown()
