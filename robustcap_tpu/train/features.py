@@ -155,7 +155,10 @@ def _detector_kp(dataset, key, i, j, Kinv):
     ones = np.ones_like(uv[..., :1])
     xy = (np.concatenate([uv, ones], -1) @ Kinv.T)
     out = xy.astype(np.float32)
-    out[..., 2] = kp[..., 2]
+    # confidence is the LAST column: raw MediaPipe caches carry 4 columns
+    # (x, y, z, visibility) — column 2 there is the landmark z, not a
+    # confidence (same convention as eval/datasets.py::_scaled_px)
+    out[..., 2] = kp[..., -1]
     return out
 
 
@@ -303,7 +306,7 @@ def amass_camera_augment(key, data: jnp.ndarray, label: jnp.ndarray,
     """
     T = data.shape[0]
     draws = draws or {}
-    k1, k2, k3 = jax.random.split(key, 3)
+    k1, k2, k3, kn = jax.random.split(key, 4)
     accw = data[:, :18].reshape(T, 6, 3)
     oriw = data[:, 18:72].reshape(T, 6, 3, 3)
     mpw = data[:, 72:].reshape(T, 33, 3)
@@ -338,7 +341,6 @@ def amass_camera_augment(key, data: jnp.ndarray, label: jnp.ndarray,
     # scalar pool [N] is accepted too and broadcast over landmarks
     p = jnp.broadcast_to(conf_pool[idx].reshape(T, -1)[..., None],
                          (T, 33, 1))
-    kn, _ = jax.random.split(k3)
     noise = jax.random.normal(kn, j2dc[..., :2].shape) * (0.003 * (1 - p))
     xy = j2dc[..., :2] + noise
     j2dc = jnp.concatenate([xy, p], -1)

@@ -18,6 +18,8 @@ import os
 import pickle
 from typing import Callable, Optional
 
+from functools import partial
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -93,7 +95,8 @@ def train(params, forward_fn: Callable, loss_fn: Callable,
           clip_grad_norm: float = 0.0, load_last_states: bool = True,
           lr_scheduler_patience: Optional[int] = None,
           lr_scheduler_factor: float = 0.1, seed: int = 0,
-          log_metrics: bool = True, mesh=None):
+          log_metrics: bool = True, mesh=None,
+          epoch_hook: Optional[Callable] = None):
     r"""Train one RNN module.
 
     ``forward_fn(params, xs, lengths, init, rng) -> ys`` and
@@ -148,7 +151,7 @@ def train(params, forward_fn: Callable, loss_fn: Callable,
         from ..parallel.mesh import make_dp_train_step
         train_step = make_dp_train_step(forward_fn, loss_fn, tx, mesh)
     else:
-        @jax.jit
+        @partial(jax.jit, donate_argnums=(0, 1))
         def train_step(params, opt_state, xs, ys, lengths, init, rng, scale):
             def compute(p):
                 out = forward_fn(p, xs, lengths, init, rng)
@@ -185,12 +188,17 @@ def train(params, forward_fn: Callable, loss_fn: Callable,
     key = jax.random.PRNGKey(seed)
     esn = early_stop_threshold if early_stop_threshold > 0 else float("inf")
     min_vald = train_info.get("min_vald_loss", 1e9)
+    plateau_best = min_vald
     total_it = train_info["total_it"]
     plateau_count = 0
 
     for epoch in range(train_info["epoch"], num_epoch):
+        if epoch_hook is not None:
+            # per-epoch dataset refresh (e.g. a fresh AMASS random-camera
+            # draw per chunk, mirroring the reference's per-__getitem__
+            # synthesis, sig_mp.py:520-552) before batches materialize
+            epoch_hook(epoch)
         train_loss, n_step = 0.0, 0
-        epoch_vald = 0.0
         batches = list(padded_batches(train_dataset, batch_size, rng_np,
                                       drop_last=mesh is not None))
         n_between = (num_iter_between_vald if num_iter_between_vald > 0
@@ -212,7 +220,6 @@ def train(params, forward_fn: Callable, loss_fn: Callable,
                 vald = run_validation(params)
                 tl = train_loss / max(n_step, 1)
                 vl = vald if vald is not None else tl
-                epoch_vald += vl
                 print("epoch %4d/%d  it %4d/%d  total %6d  "
                       "train %.6f  vald %.6f" %
                       (epoch, num_epoch, i + 1, len(batches), total_it, tl, vl))
@@ -236,16 +243,20 @@ def train(params, forward_fn: Callable, loss_fn: Callable,
                     if esn == 0:
                         print("early stop")
                         return load_pytree(best_file)
+                # ReduceLROnPlateau stepped per validation like the
+                # reference's scheduler.step(vald_loss) (train.py:160-161;
+                # torch rel-threshold 1e-4, patience in validations)
+                if lr_scheduler_patience is not None:
+                    if vl < plateau_best * (1.0 - 1e-4):
+                        plateau_best = vl
+                        plateau_count = 0
+                    else:
+                        plateau_count += 1
+                        if plateau_count > lr_scheduler_patience:
+                            lr_scale *= lr_scheduler_factor
+                            plateau_count = 0
+                            print(f"plateau: lr scale -> {lr_scale}")
                 train_loss, n_step = 0.0, 0
-        if lr_scheduler_patience is not None:
-            if epoch_vald >= min_vald:
-                plateau_count += 1
-                if plateau_count > lr_scheduler_patience:
-                    lr_scale *= lr_scheduler_factor
-                    plateau_count = 0
-                    print(f"plateau: lr scale -> {lr_scale}")
-            else:
-                plateau_count = 0
         train_info["it"] = 0
         train_info["epoch"] = epoch
 

@@ -163,6 +163,7 @@ def train_rnn4(aist_train: Dict, aist_val: Dict, amass_train: Dict = None,
     d, l = F.rnn4_features_aist(aist_train)
     dv, lv = F.rnn4_features_aist(aist_val, include_occ=False)
     datasets = [SeqDataset(d, l, split_size=200)]
+    hook = None
     if amass_train is not None:
         am = _AmassCameraDataset(F.amass_mp_base(amass_train), 200,
                                  _load_conf_pool(), "rnn4", (-180.0, 180.0))
@@ -172,11 +173,21 @@ def train_rnn4(aist_train: Dict, aist_val: Dict, amass_train: Dict = None,
                          *(datasets[1].data if len(datasets) > 1 else [])],
                         [*datasets[0].label,
                          *(datasets[1].label if len(datasets) > 1 else [])])
+    if amass_train is not None:
+        n_aist = len(datasets[0].data)
+
+        def hook(_epoch, am=am, merged=merged, n_aist=n_aist):
+            # fresh camera/translation/confidence draw per chunk per epoch
+            # (the reference redraws per __getitem__, sig_mp.py:520-552)
+            am.resample()
+            merged.data[n_aist:] = am.data
+            merged.label[n_aist:] = am.label
+
     return train(
         _init_module("rnn4"), make_forward_fn(0.4), masked_mse,
         merged, SeqDataset(dv, lv), save_dir, eval_fn=masked_distance,
         learning_rate=1e-4, num_epoch=num_epoch, num_iter_between_vald=60,
-        clip_grad_norm=1.0, **kw)
+        clip_grad_norm=1.0, epoch_hook=hook, **kw)
 
 
 def train_rnn6(aist_train: Dict, aist_val: Dict, amass_train: Dict = None,
@@ -187,17 +198,28 @@ def train_rnn6(aist_train: Dict, aist_val: Dict, amass_train: Dict = None,
     save_dir = save_dir or os.path.join(paths.weight_dir, "sig_mp", "rnn6")
     d, l = F.rnn6_features_aist(aist_train)
     dv, lv = F.rnn6_features_aist(aist_val)
+    hook = None
     if amass_train is not None:
         am = _AmassCameraDataset(F.amass_mp_base(amass_train), 200,
                                  _load_conf_pool(), "rnn6", (-90.0, 90.0))
         am.resample()
         d, l = [*d, *am.data], [*l, *am.label]
+    ds = SeqDataset(d, l, split_size=200, augment_fn=_noise_tail(0.03, 69))
+    if amass_train is not None:
+        n_amass = len(am.data)
+
+        def hook(_epoch, am=am, ds=ds, n_amass=n_amass):
+            # amass chunks are already <= split_size, so the dataset tail
+            # maps 1:1 onto am.data after re-splitting
+            am.resample()
+            ds.data[-n_amass:] = am.data
+            ds.label[-n_amass:] = am.label
+
     return train(
         _init_module("rnn6"), make_forward_fn(0.4), masked_mse,
-        SeqDataset(d, l, split_size=200, augment_fn=_noise_tail(0.03, 69)),
-        SeqDataset(dv, lv), save_dir, num_epoch=num_epoch,
+        ds, SeqDataset(dv, lv), save_dir, num_epoch=num_epoch,
         num_iter_between_vald=60, clip_grad_norm=1.0,
-        lr_scheduler_patience=5, **kw)
+        lr_scheduler_patience=5, epoch_hook=hook, **kw)
 
 
 def train_rnn7(aist_train: Dict, aist_val: Dict, amass_train: Dict = None,

@@ -186,3 +186,45 @@ class TestLoop:
         assert init.shape == (2, 3)
         np.testing.assert_allclose(init[1], label[1][0])
         assert list(lengths) == [7, 5]
+
+
+class TestLoopFixes:
+    def test_plateau_not_triggered_while_improving(self, tmp_path):
+        r"""ReduceLROnPlateau steps per validation like the reference's
+        scheduler.step(vald_loss): steadily-improving validation must NOT
+        decay the learning rate (the old epoch-sum comparison decayed
+        unconditionally)."""
+        rng = np.random.RandomState(0)
+        data = [rng.randn(20, 8).astype(np.float32) for _ in range(8)]
+        label = [np.cumsum(d, 0).astype(np.float32)[:, :2] / 20 for d in data]
+        ds = SeqDataset(data, label, split_size=10)
+        params = init_rnn_params(jax.random.PRNGKey(0), 8, 2, 16, 2)
+        train(params, make_forward_fn(0.0), masked_mse, ds, ds,
+              str(tmp_path), num_epoch=6, batch_size=4, learning_rate=1e-2,
+              clip_grad_norm=1.0, lr_scheduler_patience=1,
+              num_iter_between_vald=2)
+        import json
+        info = json.load(open(tmp_path / "train_info.json"))
+        # on this easily-learnable toy the loss improves most validations;
+        # patience=1 under the old epoch-sum bug decayed every 2 epochs
+        # (6 epochs -> lr_scale 1e-3); per-validation stepping keeps the
+        # scale far higher
+        assert info["lr_scale"] > 1e-2
+
+    def test_epoch_hook_called_and_data_refresh_applies(self, tmp_path):
+        rng = np.random.RandomState(0)
+        data = [rng.randn(10, 8).astype(np.float32) for _ in range(4)]
+        label = [d[:, :2].copy() for d in data]
+        ds = SeqDataset(data, label)
+        params = init_rnn_params(jax.random.PRNGKey(0), 8, 2, 8, 2)
+        calls = []
+
+        def hook(epoch):
+            calls.append(epoch)
+            # mutating the dataset before batches materialize must stick
+            ds.data[0] = ds.data[0] + 0.0
+
+        train(params, make_forward_fn(0.0), masked_mse, ds, ds,
+              str(tmp_path), num_epoch=3, batch_size=2, learning_rate=1e-2,
+              epoch_hook=hook)
+        assert calls == [0, 1, 2]
