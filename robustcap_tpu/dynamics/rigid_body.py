@@ -48,6 +48,7 @@ class RigidBodyDynamics:
                      for i in range(1, len(parent))])
         mass = bone_len / bone_len.sum() * total_mass
         self.mass = jnp.asarray(mass, jnp.float32)         # [J]
+        self.bone_len = jnp.asarray(bone_len, jnp.float32)  # [J]
         self.num_q = 3 + model.num_joints * 3
 
     # -- kinematics helpers --------------------------------------------------
@@ -78,7 +79,7 @@ class RigidBodyDynamics:
         omega_x = jnp.swapaxes(R, -1, -2) @ dR
         w2 = (omega_x[..., 0, 1] ** 2 + omega_x[..., 0, 2] ** 2
               + omega_x[..., 1, 2] ** 2)
-        inertia = self.mass * 0.01
+        inertia = self.mass * self.bone_len ** 2 / 12.0
         return trans_T + 0.5 * jnp.sum(inertia * w2)
 
     def _potential_energy(self, q):

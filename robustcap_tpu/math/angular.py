@@ -107,7 +107,9 @@ def quaternion_mean(q: jnp.ndarray) -> jnp.ndarray:
     r"""Sign-aligned mean quaternion (reference: angular.py:68)."""
     q = q.reshape(-1, 4)
     ref_col = jnp.argmax(jnp.mean(jnp.abs(q), axis=0))
-    signs = jnp.sign(q[:, ref_col])[:, None]
+    # where(.. < 0) rather than sign(): a sample whose pivot component is
+    # exactly 0 must be kept (sign flip is a no-op for it), not zeroed out
+    signs = jnp.where(q[:, ref_col] < 0, -1.0, 1.0)[:, None]
     q = q * signs
     return normalize_tensor(jnp.mean(q, axis=0))
 

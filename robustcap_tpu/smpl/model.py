@@ -282,7 +282,7 @@ class ParametricModel:
         posedirs = self._posedirs
         if vertex_ids is not None:
             ids = jnp.asarray(np.asarray(vertex_ids, np.int32))
-            v0 = v0[:, ids] if v0.ndim == 3 else v0[ids][None].repeat(B, 0)
+            v0 = v0[:, ids]   # v0 is always [B, V, 3] here
             weights = weights[ids]
             posedirs = posedirs[ids]
         if self.use_pose_blendshape:
@@ -332,7 +332,10 @@ class ParametricModel:
     def view_motion(self, pose_list, tran_list=None, fps=60,
                     distance_between_subjects=0.8):
         r"""Open3D motion viewer (model.py:309). Optional dependency —
-        raises a clear error when open3d is unavailable."""
+        raises a clear error when open3d is unavailable (checked BEFORE the
+        FK/LBS mesh generation, so callers fail fast instead of computing
+        [T, V, 3] meshes that can never be shown)."""
+        self._require_viewer()
         verts = []
         for i, pose in enumerate(pose_list):
             pose = jnp.asarray(pose).reshape(-1, self.num_joints, 3, 3)
@@ -344,7 +347,8 @@ class ParametricModel:
                                                  calc_mesh=True)[2])
         return self.view_mesh(verts, fps, distance_between_subjects)
 
-    def view_mesh(self, vertex_list, fps=60, distance_between_subjects=0.8):
+    @staticmethod
+    def _require_viewer():
         try:
             import open3d  # noqa: F401
         except ImportError as e:
@@ -355,6 +359,9 @@ class ParametricModel:
         raise NotImplementedError(
             "interactive open3d viewing is host-display functionality; "
             "export via save_unity_motion for the Unity viewer")
+
+    def view_mesh(self, vertex_list, fps=60, distance_between_subjects=0.8):
+        self._require_viewer()
 
 
 _DEFAULT_MODEL = None
