@@ -227,9 +227,12 @@ int rc_encode_floats_csv(const float* vals, int n, char sep, char* out,
                          int cap) {
   int pos = 0;
   for (int i = 0; i < n; i++) {
-    int w = snprintf(out + pos, cap - pos, i ? "%c%.6g" : "%.6g",
-                     i ? sep : 0, (double)vals[i]);
-    if (i == 0) w = snprintf(out + pos, cap - pos, "%.6g", (double)vals[i]);
+    int w;
+    if (i == 0) {
+      w = snprintf(out + pos, cap - pos, "%.6g", (double)vals[i]);
+    } else {
+      w = snprintf(out + pos, cap - pos, "%c%.6g", sep, (double)vals[i]);
+    }
     if (w < 0 || pos + w >= cap) return -1;
     pos += w;
   }

@@ -66,11 +66,17 @@ def initialize_distributed(coordinator_address: Optional[str] = None,
                            or os.environ.get("ROBUSTCAP_COORDINATOR")
                            or os.environ.get("JAX_COORDINATOR_ADDRESS"))
     if coordinator_address and not _INITIALIZED:
+        # honor the ROBUSTCAP_* overrides, but when unset leave the values
+        # as None so jax.distributed.initialize applies its OWN env-var
+        # resolution (JAX_NUM_PROCESSES / JAX_PROCESS_ID) — defaulting to
+        # 1/0 here would make every host of a standard JAX multi-host
+        # launch initialize as process 0 of 1
         if num_processes is None:
-            num_processes = int(os.environ.get("ROBUSTCAP_NUM_PROCESSES",
-                                               "1"))
+            env = os.environ.get("ROBUSTCAP_NUM_PROCESSES")
+            num_processes = int(env) if env is not None else None
         if process_id is None:
-            process_id = int(os.environ.get("ROBUSTCAP_PROCESS_ID", "0"))
+            env = os.environ.get("ROBUSTCAP_PROCESS_ID")
+            process_id = int(env) if env is not None else None
         jax.distributed.initialize(coordinator_address=coordinator_address,
                                    num_processes=num_processes,
                                    process_id=process_id)

@@ -13,6 +13,7 @@ them. On dropped camera frames the last keypoints are reused
 from __future__ import annotations
 
 import socket
+import time
 from typing import Optional
 
 import numpy as np
@@ -74,12 +75,25 @@ def run_detector(sync_stream, camera_reader, rcm: np.ndarray,
     addr = server_addr or ("127.0.0.1", live.detector_udp_port)
     udp = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
 
+    # pace to the resampler's 60 Hz design rate (live_demo_sync.py:18,44):
+    # the resampler's internal clock advances dt per tick() regardless of
+    # wall time, so an unpaced loop would free-run, flood the server, and
+    # let stream timestamps race ahead of real time
+    dt = getattr(sync_stream, "dt", 1.0 / 60.0)
+    next_t = time.monotonic()
     n = 0
     while max_frames is None or n < max_frames:
         tick = sync_stream.tick()
         if tick is None:
+            time.sleep(0.001)
             continue
         _, ori, acc = tick
+        next_t += dt
+        delay = next_t - time.monotonic()
+        if delay > 0:
+            time.sleep(delay)
+        else:
+            next_t = time.monotonic()   # fell behind: re-anchor, don't burst
         frame = camera_reader()
         lm = None
         if frame is not None:

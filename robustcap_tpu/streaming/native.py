@@ -83,10 +83,17 @@ class RingBuffer:
         if self._lib is not None:
             self._h = self._lib.rc_ring_new(capacity, 4 * item_floats)
         else:
+            self._h = None
             self._q = deque(maxlen=capacity)
             self._mu = threading.Lock()
             self._dropped = 0
             self._cap = capacity
+
+    def __del__(self):
+        h = getattr(self, "_h", None)
+        if h and getattr(self, "_lib", None) is not None:
+            self._lib.rc_ring_free(h)
+            self._h = None
 
     def push(self, item: np.ndarray) -> bool:
         item = np.ascontiguousarray(item, np.float32)
@@ -156,11 +163,18 @@ class ImuResampler:
         if self._lib is not None:
             self._h = self._lib.rc_resampler_new(n_imu, fps)
         else:
+            self._h = None
             self._prev = [None] * n_imu
             self._cur = [None] * n_imu
             self._clock = None
             self._dt = 1.0 / fps
             self._mu = threading.Lock()
+
+    def __del__(self):
+        h = getattr(self, "_h", None)
+        if h and getattr(self, "_lib", None) is not None:
+            self._lib.rc_resampler_free(h)
+            self._h = None
 
     def push(self, imu: int, t: float, quat_wxyz: np.ndarray,
              acc: np.ndarray):

@@ -77,19 +77,26 @@ def run_live_demo(params=None, model=None, cfg: Optional[SigMPConfig] = None,
                   live: LiveConfig = LiveConfig(), max_frames=None,
                   net=None):
     r"""Socket loop (live_server.py:24-68): accept a Unity client on TCP
-    :8888, then consume detector UDP packets on :9999 and stream frames."""
-    engine = LiveServer(params, model, cfg, net=net)
+    :8888, then consume detector UDP packets on :9999 and stream frames.
 
+    The listening socket comes up BEFORE the engine builds, so clients can
+    connect immediately (engine construction compiles the step and can take
+    seconds on a loaded host)."""
     srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
     srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
     srv.bind(("0.0.0.0", live.unity_tcp_port))
     srv.listen(1)
+
+    # bind the detector's UDP socket before accepting the viewer so
+    # packets sent immediately after the client connects are not dropped
+    udp = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+    udp.bind(("0.0.0.0", live.detector_udp_port))
+
+    engine = LiveServer(params, model, cfg, net=net)
+
     print(f"waiting for Unity on :{live.unity_tcp_port}")
     conn, addr = srv.accept()
     print("unity connected:", addr)
-
-    udp = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
-    udp.bind(("0.0.0.0", live.detector_udp_port))
 
     n = 0
     t0 = time.time()

@@ -28,8 +28,12 @@ class MotionViewer:
         self.port = port
         self.conn = None
         self.server = None
-        # evenly spread display colors
-        self.colors = [(i / max(n, 1), 0.6, 0.9) for i in range(n)]
+        # evenly spread display colors, sent as RGB in [0, 1] (the wire
+        # convention; the reference sends matplotlib tab10 RGB rows) —
+        # hues are converted, not sent raw
+        import colorsys
+        self.colors = [colorsys.hsv_to_rgb(i / max(n, 1), 0.7, 0.9)
+                       for i in range(n)]
 
     def connect(self):
         self.server = socket.socket(socket.AF_INET, socket.SOCK_STREAM)

@@ -107,6 +107,7 @@ class Renderer:
         self.resolution = resolution
         try:
             import pyrender
+            import trimesh  # noqa: F401 - _render_pyrender needs it too
             # a *usable* pyrender, not a bare stub (test harnesses may
             # register placeholder modules for unrelated imports)
             if not hasattr(pyrender, "OffscreenRenderer"):

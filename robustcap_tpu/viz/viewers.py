@@ -52,10 +52,35 @@ class RotationViewer(_HeadlessMixin):
         self._record([np.asarray(r) for r in rotations])
         if self._client is not None:
             import pybullet as p
+            if not hasattr(self, "_items"):
+                self._items = {}
+            axis_colors = ([1, 0, 0], [0, 1, 0], [0, 0, 1])
             for i, r in enumerate(rotations):
-                q = self._to_xyzw(r)
-                p.addUserDebugText(f"R{i}", [i * 0.5, 0, 0],
-                                   replaceItemUniqueId=i)
+                R = self._to_R(r)
+                origin = np.asarray([i * 0.5, 0.0, 0.0])
+                # draw the rotated frame axes as three debug lines,
+                # replacing the previously returned item ids (not the loop
+                # index, which is not a valid debug-item id)
+                for a in range(3):
+                    end = origin + 0.2 * R[:, a]
+                    prev = self._items.get((i, a), -1)
+                    kw = ({"replaceItemUniqueId": prev} if prev >= 0 else {})
+                    self._items[(i, a)] = p.addUserDebugLine(
+                        origin.tolist(), end.tolist(), axis_colors[a],
+                        lineWidth=2, **kw)
+                label = self._items.get((i, "txt"), -1)
+                kw = {"replaceItemUniqueId": label} if label >= 0 else {}
+                self._items[(i, "txt")] = p.addUserDebugText(
+                    f"R{i}", (origin + [0, 0, 0.25]).tolist(), **kw)
+
+    def _to_R(self, r):
+        import jax.numpy as jnp
+        from .. import math as M
+        r = np.asarray(r)
+        if r.shape == (3, 3):
+            return r
+        return np.asarray(M.quaternion_to_rotation_matrix(
+            jnp.asarray(r[None], jnp.float32)))[0]
 
     def _to_xyzw(self, r):
         import jax.numpy as jnp
@@ -308,6 +333,7 @@ class StreamingDataViewer(_HeadlessMixin):
                     int(h - (v[c] - lo) / (hi - lo) * h))
                    for i, v in enumerate(data)]
             if len(pts) > 1:
-                pygame.draw.lines(self._screen, (50 + 60 * c, 200, 90), False,
+                pygame.draw.lines(self._screen,
+                                  ((50 + 60 * c) % 256, 200, 90), False,
                                   pts, 1)
         pygame.display.flip()

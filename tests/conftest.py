@@ -27,6 +27,40 @@ jax.config.update("jax_default_matmul_precision", "highest")
 
 # Persistent compilation cache: the suite compiles many large scan graphs;
 # caching makes re-runs and parallel test shards dramatically faster.
+#
+# Hazard (observed in this environment): when the VM migrates to a host
+# with different CPU features, XLA:CPU executable (de)serialization emits
+# "machine feature ... not supported" warnings, stalls cache reads, and can
+# SEGFAULT in put_executable_and_time. Guard two ways: a machine-signature
+# sentinel wipes a cache built on a different host generation, and
+# ROBUSTCAP_JAX_CACHE=0 disables the persistent cache entirely.
 _cache_dir = os.path.join(os.path.dirname(__file__), ".jax_cache")
-jax.config.update("jax_compilation_cache_dir", _cache_dir)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+if os.environ.get("ROBUSTCAP_JAX_CACHE", "1") != "0":
+    import hashlib
+
+    def _machine_signature() -> str:
+        try:
+            with open("/proc/cpuinfo") as f:
+                for line in f:
+                    if line.startswith("flags"):
+                        return hashlib.sha1(line.encode()).hexdigest()[:16]
+        except OSError:
+            pass
+        import platform
+        return platform.processor() or "unknown"
+
+    _sig_file = os.path.join(_cache_dir, "MACHINE_SIGNATURE")
+    _sig = _machine_signature()
+    if os.path.isdir(_cache_dir):
+        try:
+            old = open(_sig_file).read()
+        except OSError:
+            old = ""
+        if old != _sig:
+            import shutil
+            shutil.rmtree(_cache_dir, ignore_errors=True)
+    os.makedirs(_cache_dir, exist_ok=True)
+    with open(_sig_file, "w") as f:
+        f.write(_sig)
+    jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

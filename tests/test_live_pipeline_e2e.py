@@ -74,12 +74,22 @@ def test_full_pipeline_detector_to_unity(world):
                     max_frames=N),
         daemon=True)
     server.start()
-    time.sleep(0.5)
 
-    # Unity client
-    unity = socket.create_connection(("127.0.0.1", LIVE.unity_tcp_port),
-                                     timeout=10)
-    unity.settimeout(10.0)
+    # Unity client: retry until the server's listen socket is up (fixed
+    # sleeps flake on slow/single-core hosts)
+    unity = None
+    deadline = time.time() + 30
+    while unity is None:
+        try:
+            unity = socket.create_connection(
+                ("127.0.0.1", LIVE.unity_tcp_port), timeout=10)
+        except OSError:
+            if time.time() > deadline:
+                raise
+            time.sleep(0.2)
+    # the first frame jit-compiles the fused step; allow minutes on a
+    # slow or single-core host
+    unity.settimeout(180.0)
 
     # detector feed: fixture keypoints (normalized) + IMUs in camera frame
     from robustcap_tpu.eval import build_aist_sequences
@@ -98,7 +108,7 @@ def test_full_pipeline_detector_to_unity(world):
         frames.append(parse_unity_frame(frame + b"$"))
     unity.close()
     tx.close()
-    server.join(timeout=10)
+    server.join(timeout=60)
 
     assert len(frames) == N
     pose0, tran0 = frames[0]
