@@ -12,8 +12,15 @@ import os
 os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8").strip()
+    flags = (flags + " --xla_force_host_platform_device_count=8").strip()
+# Cap the CPU codegen ISA: live-migrated VMs can advertise AVX512/AMX in
+# /proc/cpuinfo while the vCPU faults on them — LLVM then SEGFAULTS inside
+# backend_compile_and_load on the big scan programs (observed on this
+# environment after a mid-session host migration). AVX2 is universally safe
+# and these are correctness tests, not CPU benchmarks.
+if "xla_cpu_max_isa" not in flags:
+    flags = (flags + " --xla_cpu_max_isa=AVX2").strip()
+os.environ["XLA_FLAGS"] = flags
 os.environ.setdefault("JAX_ENABLE_X64", "0")
 
 import jax  # noqa: E402
