@@ -35,14 +35,17 @@ jax.config.update("jax_default_matmul_precision", "highest")
 # Persistent compilation cache: the suite compiles many large scan graphs;
 # caching makes re-runs and parallel test shards dramatically faster.
 #
-# Hazard (observed in this environment): when the VM migrates to a host
-# with different CPU features, XLA:CPU executable (de)serialization emits
-# "machine feature ... not supported" warnings, stalls cache reads, and can
-# SEGFAULT in put_executable_and_time. Guard two ways: a machine-signature
-# sentinel wipes a cache built on a different host generation, and
-# ROBUSTCAP_JAX_CACHE=0 disables the persistent cache entirely.
+# Hazard (observed in this environment): after a VM live-migration the
+# XLA:CPU executable serializer repeatedly SEGFAULTED in
+# put_executable_and_time on the largest scan program (with stale AND
+# fresh caches, with and without the ISA cap), and stale-cache reads
+# stalled the whole suite. The persistent cache is therefore OPT-IN
+# (ROBUSTCAP_JAX_CACHE=1): correctness runs work everywhere without it;
+# enable it on a known-healthy host for faster re-runs. The
+# machine-signature sentinel below wipes a cache built on a different
+# host generation when the cache is enabled.
 _cache_dir = os.path.join(os.path.dirname(__file__), ".jax_cache")
-if os.environ.get("ROBUSTCAP_JAX_CACHE", "1") != "0":
+if os.environ.get("ROBUSTCAP_JAX_CACHE", "0") == "1":
     import hashlib
 
     def _machine_signature() -> str:
