@@ -70,6 +70,11 @@ def main():
     B = int(os.environ.get("BENCH_BATCH", 512))
     T = int(os.environ.get("BENCH_FRAMES", 512))
     K = int(os.environ.get("BENCH_SEQ_FRAMES", 240))
+    # soft deadline: optional sections (int8c, smplify, per-dispatch
+    # latency) are skipped once exceeded, so a slow host/tunnel still
+    # produces the JSON line instead of being killed by an outer timeout
+    deadline = time.perf_counter() + float(
+        os.environ.get("BENCH_DEADLINE_S", "420"))
 
     model = ParametricModel(data=synthetic_smpl_data())
     params = sig_mp.init_params(jax.random.PRNGKey(0))  # full-size bank
@@ -133,7 +138,8 @@ def main():
 
     # -- int8-MXU serving mode (approximate; docs/PERFORMANCE.md) ----------
     int8c_fps = None
-    if bench_dtype == "f32" and os.environ.get("BENCH_INT8C", "1") != "0":
+    if (bench_dtype == "f32" and os.environ.get("BENCH_INT8C", "1") != "0"
+            and time.perf_counter() < deadline):
         qparams, _, qbatched = int8c_setup(params)
         jax.block_until_ready(qbatched(qparams, frames))
         t0 = time.perf_counter()
@@ -161,24 +167,27 @@ def main():
 
     # wall-clock per-frame dispatch through the tunnel (context only; the
     # ~30-40 ms RTT of this environment's network-attached TPU dominates)
-    net = sig_mp.StreamingNet(params, model, cfg)
-    net.forward_online(j2dc[0, 0], accc[0, 0], oric[0, 0],
-                       first_tran=np.zeros(3, np.float32))  # compile
-    lat = []
-    for t in range(1, 60):
-        s = time.perf_counter()
-        _, tr = net.forward_online(j2dc[0, t % T], accc[0, t % T],
-                                   oric[0, t % T])
-        jax.block_until_ready(tr)
-        lat.append(time.perf_counter() - s)
-    tunnel_p50_ms = float(np.percentile(lat, 50) * 1e3)
+    tunnel_p50_ms = None
+    if time.perf_counter() < deadline:
+        net = sig_mp.StreamingNet(params, model, cfg)
+        net.forward_online(j2dc[0, 0], accc[0, 0], oric[0, 0],
+                           first_tran=np.zeros(3, np.float32))  # compile
+        lat = []
+        for t in range(1, 40):
+            s = time.perf_counter()
+            _, tr = net.forward_online(j2dc[0, t % T], accc[0, t % T],
+                                       oric[0, t % T])
+            jax.block_until_ready(tr)
+            lat.append(time.perf_counter() - s)
+        tunnel_p50_ms = float(np.percentile(lat, 50) * 1e3)
 
     # -- baseline: the real reference on this host's CPU -------------------
     ref_fps, baseline_kind = _measure_reference_cpu_fps(j2dc, accc, oric)
 
     # -- SMPLify batched refinement throughput (VERDICT item 2) ------------
     smplify_fps = None
-    if os.environ.get("BENCH_SMPLIFY", "1") != "0":
+    if (os.environ.get("BENCH_SMPLIFY", "1") != "0"
+            and time.perf_counter() < deadline):
         from robustcap_tpu.smplify.runner import _jitted_fit
         from robustcap_tpu.smplify.prior import MaxMixturePrior
         prior = MaxMixturePrior("data/dataset_work", num_gaussians=8)
@@ -213,7 +222,8 @@ def main():
             "baseline_fps": round(ref_fps, 2),
             "baseline_kind": baseline_kind,
             "device_step_method": "chained-scan differencing (RTT-free)",
-            "tunnel_per_dispatch_p50_ms": round(tunnel_p50_ms, 3),
+            "tunnel_per_dispatch_p50_ms": (
+                None if tunnel_p50_ms is None else round(tunnel_p50_ms, 3)),
             "smplify_refine_fps": (None if smplify_fps is None
                                    else round(smplify_fps, 1)),
             "int8c_fps": (None if int8c_fps is None else round(int8c_fps, 1)),
