@@ -12,7 +12,8 @@ from .datasets import (resample_sequence, interpolate_keypoints,  # noqa: F401
 from .occlusion import (paste_over, occlude_with_objects,  # noqa: F401
                         resize_by_factor, load_occluders, random_occluders)
 from .smooth_bbox import (kp_to_bbox_param, get_smooth_bbox_params,  # noqa: F401
-                          get_bbox)
+                          get_all_bbox_params, smooth_bbox_params,
+                          pw3d_crop_windows, get_bbox)
 from .detectors import (detect_sequence, detect_sequence_cropped,  # noqa: F401
                         detect_sequence_occluded)
 from .aist import (aist_camera_params, aist_sequence_to_work,  # noqa: F401

@@ -16,7 +16,7 @@ from typing import Callable, Iterable, List, Optional, Tuple
 import numpy as np
 
 from .occlusion import occlude_with_objects
-from .smooth_bbox import get_bbox, get_smooth_bbox_params
+from .smooth_bbox import get_smooth_bbox_params, pw3d_crop_windows
 
 __all__ = ["MediaPipeDetector", "detect_sequence", "detect_sequence_cropped",
            "detect_sequence_occluded"]
@@ -65,27 +65,41 @@ def detect_sequence(frames: Iterable[np.ndarray],
 
 
 def detect_sequence_cropped(frames: List[np.ndarray], gt_kp: np.ndarray,
-                            detector: Callable) -> np.ndarray:
-    r"""Detect on a smoothed-bbox crop and map landmarks back to full-frame
-    fractions (run_3dpw_detector.py:33-53): per-frame 4:3 windows from the
-    GT-keypoint track keep the subject centered for the detector."""
+                            detector: Callable, num_people: int = 1,
+                            vis_thresh: float = 0.3, sigma: float = 8.0,
+                            conf_gate: float = 0.3) -> np.ndarray:
+    r"""Detect on smoothed-bbox crops and map landmarks back to full-frame
+    fractions (run_3dpw_detector.py:33-53).
+
+    The crop pipeline is reference-exact: ``get_smooth_bbox_params`` with
+    the 3DPW settings (vis_thresh=0.3, sigma=8), the single-vs-multi-person
+    window sizing, int-truncated clamped windows, and the
+    mean-confidence<0.3 frame gate that emits a placeholder without running
+    the detector. Output stays in this framework's fraction convention
+    (the reference stores absolute pixels; the affine map is the same).
+    """
     H, W = frames[0].shape[:2]
-    track = get_smooth_bbox_params(gt_kp)
+    track, start, end = get_smooth_bbox_params(gt_kp, vis_thresh=vis_thresh,
+                                               sigma=sigma)
+    windows = pw3d_crop_windows(track, H, W, num_people=num_people)
     out = []
     for t, frame in enumerate(frames):
-        cx, cy, s = track[t]
-        half = s / 2 + 50
-        uv = np.array([[cy - half, cx - half], [cy + half, cx + half]],
-                      np.float32)
-        u0, v0, u1, v1 = get_bbox(uv, H, W)
-        crop = frame[u0:u1, v0:v1]
+        kp_t = np.asarray(gt_kp[t])
+        if kp_t[:, 2].mean() < conf_gate or t >= len(windows):
+            out.append(_placeholder())
+            continue
+        sx, sy, ex, ey = windows[t]
+        crop = frame[sy:ey, sx:ex]
+        if crop.size == 0:
+            out.append(_placeholder())
+            continue
         kp = detector(crop)
         if kp is None:
             out.append(_placeholder())
             continue
         kp = kp.copy()
-        kp[:, 0] = (kp[:, 0] * (v1 - v0) + v0) / W
-        kp[:, 1] = (kp[:, 1] * (u1 - u0) + u0) / H
+        kp[:, 0] = (kp[:, 0] * (ex - sx) + sx) / W
+        kp[:, 1] = (kp[:, 1] * (ey - sy) + sy) / H
         out.append(kp)
     return np.stack(out)
 

@@ -44,6 +44,39 @@ jax.config.update("jax_default_matmul_precision", "highest")
 # enable it on a known-healthy host for faster re-runs. The
 # machine-signature sentinel below wipes a cache built on a different
 # host generation when the cache is enabled.
+# ---------------------------------------------------------------------------
+# Quick smoke tier: `pytest -m quick` (~2-3 min on a healthy host).
+#
+# Whole modules are marked rather than individual tests: the expensive unit is
+# the module-scoped fixture compile (scan programs, the torch reference
+# harness), so a module is either cheap or it isn't. The list below is the
+# cheap-but-load-bearing core — small-width configs, no torch-reference
+# compile, no full-width scans. `tools/run_suite_sharded.sh --quick` runs the
+# same set one process per module.
+# ---------------------------------------------------------------------------
+QUICK_MODULES = {
+    "test_math_angular",
+    "test_math_spatial",
+    "test_smpl_model",
+    "test_nn_rnn",
+    "test_sig_mp_step",
+    "test_golden",
+    "test_evaluators",
+    "test_filters_compat",
+    "test_preprocess",
+    "test_smooth_bbox",
+    "test_streaming",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    import pytest
+
+    for item in items:
+        if item.module.__name__ in QUICK_MODULES:
+            item.add_marker(pytest.mark.quick)
+
+
 _cache_dir = os.path.join(os.path.dirname(__file__), ".jax_cache")
 if os.environ.get("ROBUSTCAP_JAX_CACHE", "0") == "1":
     import hashlib

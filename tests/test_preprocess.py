@@ -98,19 +98,22 @@ class TestBbox:
         kp[:, 0] = [0, 10, 20, 5, 2]
         kp[:, 1] = [0, 5, 10, 1, 3]
         kp[:, 2] = 1.0
-        cx, cy, s = kp_to_bbox_param(kp)
-        assert cx == 10 and cy == 5 and s == 20
+        cx, cy, s = kp_to_bbox_param(kp, vis_thresh=0.3)
+        # scale = 150 / diagonal of the keypoint box (smooth_bbox.py:49-53)
+        assert cx == 10 and cy == 5
+        assert abs(s - 150.0 / np.hypot(20, 10)) < 1e-6
 
     def test_smooth_track(self):
         rng = np.random.RandomState(0)
         kp = np.zeros((30, 5, 3), np.float32)
-        kp[..., :2] = 50 + rng.randn(30, 5, 2) * 2
+        kp[..., :2] = 50 + rng.randn(30, 5, 2) * 20
         kp[..., 2] = 1.0
         kp[10, :, 2] = 0.0  # one invalid frame gets interpolated
-        track = get_smooth_bbox_params(kp)
+        track, start, end = get_smooth_bbox_params(kp, vis_thresh=0.3)
         assert track.shape == (30, 3)
+        assert (start, end) == (0, 30)
         assert np.isfinite(track).all()
-        assert abs(track[:, 0].mean() - 50) < 5
+        assert abs(track[:, 0].mean() - 50) < 15
 
     def test_get_bbox_43(self):
         uv = np.asarray([[100, 100], [300, 260]], np.float32)

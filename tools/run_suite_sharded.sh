@@ -7,12 +7,29 @@
 # process — see CLAUDE.md). Process isolation trades startup overhead for
 # immunity to that corruption.
 #
-# Usage: tools/run_suite_sharded.sh [extra pytest args...]
+# Usage: tools/run_suite_sharded.sh [--quick] [extra pytest args...]
+#   --quick  run only the quick smoke tier (tests/conftest.py QUICK_MODULES)
 set -u
 cd "$(dirname "$0")/.."
+modules=(tests/test_*.py)
+if [ "${1:-}" = "--quick" ]; then
+  shift
+  mapfile -t modules < <(python - <<'EOF'
+import sys; sys.path.insert(0, "tests")
+# conftest imports jax; keep that off the TPU tunnel for this listing
+import os; os.environ["JAX_PLATFORMS"] = "cpu"
+from conftest import QUICK_MODULES
+for m in sorted(QUICK_MODULES):
+    import os.path
+    p = f"tests/{m}.py"
+    if os.path.exists(p):
+        print(p)
+EOF
+)
+fi
 fail=0
 failed_modules=()
-for f in tests/test_*.py; do
+for f in "${modules[@]}"; do
   echo "=== $f ==="
   if ! timeout 1800 python -m pytest "$f" -q "$@"; then
     fail=1
