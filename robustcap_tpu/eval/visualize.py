@@ -76,9 +76,23 @@ def view_aist(seq_idx: int = 0, cam_idx: int = 0, run_smplify: bool = True,
 
 
 def _write_video(frames, path, fps=30):
+    r"""Write frames as a video: imageio (ffmpeg) -> cv2 -> raw .npy."""
     try:
         import imageio.v2 as imageio
         imageio.mimwrite(path, frames, fps=fps)
+        return path
+    except Exception:
+        pass
+    try:
+        import cv2
+        h, w = frames[0].shape[:2]
+        writer = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"),
+                                 fps, (w, h))
+        if not writer.isOpened():
+            raise RuntimeError("cv2.VideoWriter failed to open")
+        for f in frames:
+            writer.write(np.asarray(f)[..., ::-1])  # RGB -> BGR
+        writer.release()
         return path
     except Exception:
         np.save(path + ".npy", np.stack(frames[:32]))

@@ -330,12 +330,18 @@ class ParametricModel:
     # -- visualization hooks (host-side, optional deps) ----------------------
 
     def view_motion(self, pose_list, tran_list=None, fps=60,
-                    distance_between_subjects=0.8):
-        r"""Open3D motion viewer (model.py:309). Optional dependency —
-        raises a clear error when open3d is unavailable (checked BEFORE the
-        FK/LBS mesh generation, so callers fail fast instead of computing
-        [T, V, 3] meshes that can never be shown)."""
-        self._require_viewer()
+                    distance_between_subjects=0.8, output_path=None,
+                    resolution=(720, 720)):
+        r"""Render model motion to frames/video (model.py:309-331).
+
+        The reference opens an interactive open3d window; this rebuild is
+        offscreen — posed meshes are rasterized with the dependency-free
+        software renderer (viz/render.py) and optionally written to a video
+        (``output_path``), so it works headless and in CI. Returns the
+        rendered frames ``[T, H, W, 3] uint8``. A single-frame input
+        produces a 60-frame turntable orbit instead of the reference's
+        "show one picture".
+        """
         verts = []
         for i, pose in enumerate(pose_list):
             pose = jnp.asarray(pose).reshape(-1, self.num_joints, 3, 3)
@@ -345,23 +351,105 @@ class ParametricModel:
                 tran = t - t[:1]
             verts.append(self.forward_kinematics(pose, tran=tran,
                                                  calc_mesh=True)[2])
-        return self.view_mesh(verts, fps, distance_between_subjects)
+        return self.view_mesh(verts, fps, distance_between_subjects,
+                              output_path=output_path, resolution=resolution)
+
+    def view_mesh(self, vertex_list, fps=60, distance_between_subjects=0.8,
+                  output_path=None, resolution=(720, 720),
+                  turntable_frames=60):
+        r"""Render meshes (one per subject, offset along x as the reference
+        does — model.py:278-305) through an auto-framed virtual camera.
+
+        vertex_list: length-num_subject list, each reshaping to
+        [num_frame, num_vertex, 3]. Returns frames [T, H, W, 3] uint8 and
+        writes ``output_path`` (mp4 via imageio when available) if given.
+        """
+        from ..viz.render import SoftwareRenderer
+
+        V = self.num_verts
+        v_list, f_list = [], []
+        f = self.face.copy()
+        for i, v in enumerate(vertex_list):
+            v = np.array(np.asarray(v, np.float32)).reshape(-1, V, 3)
+            v[:, :, 0] += distance_between_subjects * i
+            v_list.append(v)
+            f_list.append(f.copy())
+            f = f + V
+        verts = np.concatenate(v_list, axis=1)          # [T, S*V, 3]
+        faces = np.concatenate(f_list)
+
+        W, H = resolution
+        K = np.array([[1.2 * W, 0, W / 2], [0, 1.2 * W, H / 2], [0, 0, 1]],
+                     np.float32)
+        center = verts.reshape(-1, 3).mean(axis=0)
+        radius = float(np.linalg.norm(
+            verts.reshape(-1, 3) - center, axis=1).max())
+        dist = max(3.0 * radius, 1e-3)
+
+        single = len(verts) == 1
+        n_frames = turntable_frames if single else len(verts)
+        renderer = SoftwareRenderer((W, H))
+        frames = []
+        for t in range(n_frames):
+            yaw = (2 * np.pi * t / n_frames) if single else 0.0
+            frame_verts = verts[0] if single else verts[t]
+            cam = self._look_at_transform(center, dist, yaw)
+            vc = (frame_verts - cam["eye"]) @ cam["R"].T
+            frames.append(renderer.render(None, vc, faces, K))
+        frames = np.stack(frames)
+        if output_path is not None:
+            from ..eval.visualize import _write_video
+            _write_video(list(frames), output_path, fps=fps)
+        return frames
 
     @staticmethod
-    def _require_viewer():
-        try:
-            import open3d  # noqa: F401
-        except ImportError as e:
-            raise ImportError(
-                "view_mesh requires open3d, which is not installed in this "
-                "environment; use save_obj_mesh/save_unity_motion instead"
-            ) from e
-        raise NotImplementedError(
-            "interactive open3d viewing is host-display functionality; "
-            "export via save_unity_motion for the Unity viewer")
+    def _look_at_transform(center, dist, yaw):
+        r"""Camera on a horizontal orbit looking at ``center``: returns the
+        world->camera rotation (rows = camera x/y/z axes, +z forward, y
+        down — the pinhole convention of viz/render.py)."""
+        eye = center + dist * np.array(
+            [np.sin(yaw), 0.0, np.cos(yaw)], np.float32)
+        fwd = center - eye
+        fwd = fwd / max(np.linalg.norm(fwd), 1e-9)
+        up = np.array([0.0, 1.0, 0.0], np.float32)       # SMPL y-up
+        right = np.cross(fwd, up)
+        right /= max(np.linalg.norm(right), 1e-9)
+        down = np.cross(fwd, right)
+        return {"eye": eye.astype(np.float32),
+                "R": np.stack([right, down, fwd]).astype(np.float32)}
 
-    def view_mesh(self, vertex_list, fps=60, distance_between_subjects=0.8):
-        self._require_viewer()
+    def view_mesh_overlay(self, verts, images, K, Tcw=None, fps=60,
+                          output_path=None):
+        r"""Composite posed meshes over camera images (model.py:335-390).
+
+        verts reshapes to [num_frame, num_vertex, 3] (world frame); images
+        broadcast to [num_frame, H, W, 3] uint8; K [3, 3]; Tcw [4, 4]
+        world->camera extrinsic. Offscreen rebuild of the reference's
+        open3d overlay window: each frame is rasterized with the software
+        renderer and composited by depth mask. Returns frames; writes
+        ``output_path`` if given.
+        """
+        from ..viz.render import SoftwareRenderer
+
+        verts = np.asarray(verts, np.float32).reshape(-1, self.num_verts,
+                                                      3)
+        images = np.asarray(images, np.uint8)
+        if images.ndim == 3:
+            images = np.broadcast_to(images, (len(verts),) + images.shape)
+        H, W = images.shape[1:3]
+        Tcw = np.eye(4, dtype=np.float32) if Tcw is None else \
+            np.asarray(Tcw, np.float32)
+        renderer = SoftwareRenderer((W, H))
+        frames = []
+        for t in range(len(verts)):
+            vc = verts[t] @ Tcw[:3, :3].T + Tcw[:3, 3]
+            frames.append(renderer.render(images[t], vc, self.face,
+                                          np.asarray(K, np.float32)))
+        frames = np.stack(frames)
+        if output_path is not None:
+            from ..eval.visualize import _write_video
+            _write_video(list(frames), output_path, fps=fps)
+        return frames
 
 
 _DEFAULT_MODEL = None
