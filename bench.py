@@ -212,6 +212,50 @@ def main():
         jax.block_until_ready(fit(*args))
         smplify_fps = Bs * Ts / (time.perf_counter() - t0)
 
+    # -- training step throughput (VERDICT r2 item 3) ----------------------
+    # DP train step over a mesh of all attached devices (one chip here;
+    # the same code path the 8-device CPU tests and dryrun_multichip
+    # exercise). rnn4 = the widest module (1280), rnn7 = the FK-loss head.
+    # Match: reference articulate/utils/torch/train.py:15, net/sig_mp.py
+    # trainers (train_rnn4:436-574, train_rnn7:700-787).
+    train_fps = {}
+    if (os.environ.get("BENCH_TRAIN", "1") != "0"
+            and time.perf_counter() < deadline):
+        import optax
+
+        from robustcap_tpu.models.sig_mp import RNN_SPECS
+        from robustcap_tpu.nn.rnn import init_rnn_params
+        from robustcap_tpu.parallel.mesh import make_dp_train_step
+        from robustcap_tpu.train.losses import make_fk_pose_loss, masked_mse
+        from robustcap_tpu.train.trainers import make_forward_fn
+
+        mesh = jax.make_mesh((len(jax.devices()),), ("data",))
+        Tt = int(os.environ.get("BENCH_TRAIN_FRAMES", 200))
+        Bt = int(os.environ.get("BENCH_TRAIN_BATCH", 256))
+        for name, loss_fn in (("rnn4", masked_mse),
+                              ("rnn7", make_fk_pose_loss(model))):
+            i, o, h, dropout, with_init = RNN_SPECS[name]
+            p = init_rnn_params(jax.random.PRNGKey(1), i, o, h, 2, with_init)
+            tx = optax.chain(optax.clip_by_global_norm(1.0),
+                             optax.adam(1e-4))
+            step = make_dp_train_step(make_forward_fn(dropout), loss_fn,
+                                      tx, mesh)
+            opt_state = tx.init(p)
+            xs = jnp.asarray(rng.randn(Tt, Bt, i), jnp.float32)
+            ys = jnp.asarray(rng.randn(Tt, Bt, o), jnp.float32)
+            lengths = jnp.full((Bt,), Tt, jnp.int32)
+            key = jax.random.PRNGKey(2)
+            p, opt_state, _ = step(p, opt_state, xs, ys, lengths, None,
+                                   key, 1.0)  # compile + warm
+            jax.block_until_ready(p)
+            t0 = time.perf_counter()
+            reps_t = 3
+            for _ in range(reps_t):
+                p, opt_state, loss = step(p, opt_state, xs, ys, lengths,
+                                          None, key, 1.0)
+            jax.block_until_ready(p)
+            train_fps[name] = Tt * Bt / ((time.perf_counter() - t0) / reps_t)
+
     result = {
         "metric": "aist_batched_eval_throughput",
         "value": round(batched_fps, 1),
@@ -227,6 +271,8 @@ def main():
             "smplify_refine_fps": (None if smplify_fps is None
                                    else round(smplify_fps, 1)),
             "int8c_fps": (None if int8c_fps is None else round(int8c_fps, 1)),
+            "train_fps": ({k: round(v, 1) for k, v in train_fps.items()}
+                          or None),
             "serving_dtype": bench_dtype,
             "batch": B, "frames": T,
             "device": str(jax.devices()[0]),

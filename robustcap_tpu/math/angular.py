@@ -31,7 +31,8 @@ __all__ = [
     "svd_rotate", "generate_random_rotation_matrix",
     "generate_random_rotation_matrix_constrained",
     "axis_angle_to_rotation_matrix", "rotation_matrix_to_axis_angle",
-    "r6d_to_rotation_matrix", "rotation_matrix_to_r6d",
+    "r6d_to_rotation_matrix", "r6d_to_rotation_matrix_nd",
+    "rotation_matrix_to_r6d",
     "quaternion_to_axis_angle", "axis_angle_to_quaternion",
     "quaternion_to_rotation_matrix", "rotation_matrix_to_quaternion",
     "euler_angle_to_rotation_matrix", "rotation_matrix_to_euler_angle",
@@ -226,6 +227,20 @@ def r6d_to_rotation_matrix(r6d: jnp.ndarray) -> jnp.ndarray:
     col0 = normalize_tensor(r6d[:, 0:3], eps=_EPS)
     proj = jnp.sum(col0 * r6d[:, 3:6], axis=1, keepdims=True)
     col1 = normalize_tensor(r6d[:, 3:6] - proj * col0, eps=_EPS)
+    col2 = jnp.cross(col0, col1)
+    return jnp.stack((col0, col1, col2), axis=-1)
+
+
+def r6d_to_rotation_matrix_nd(r6d: jnp.ndarray) -> jnp.ndarray:
+    r"""[..., 6] -> [..., 3, 3] leading-shape-preserving Gram-Schmidt.
+
+    Same math as :func:`r6d_to_rotation_matrix` without the ``reshape(-1)``
+    flatten, so it is safe inside computations whose leading axes carry a
+    mesh sharding (flattening a sharded axis is a ShardingTypeError under
+    explicit-sharding jit)."""
+    col0 = normalize_tensor(r6d[..., 0:3], eps=_EPS)
+    proj = jnp.sum(col0 * r6d[..., 3:6], axis=-1, keepdims=True)
+    col1 = normalize_tensor(r6d[..., 3:6] - proj * col0, eps=_EPS)
     col2 = jnp.cross(col0, col1)
     return jnp.stack((col0, col1, col2), axis=-1)
 

@@ -84,19 +84,21 @@ def make_fk_pose_loss(body_model, fk_weight: float = 100.0):
     ancestor = jnp.asarray(body_model.tree.ancestor_matrix)
     bone = jnp.asarray(np.asarray(body_model._bone_vector))
 
-    def fk(r6d_flat):
-        n = r6d_flat.shape[0]
-        R = M.r6d_to_rotation_matrix(r6d_flat).reshape(n, 24, 3, 3)
-        pb = (R[:, parent] @ bone[None, :, :, None])[..., 0]
-        pb = pb.at[:, 0].set(0.0)
-        return jnp.einsum("ij,njk->nik", ancestor, pb)
+    def fk(r6d):
+        # [T, B, 144] -> [T, B, 24, 3]; only the (replicated) feature axis
+        # is reshaped, so the batch axis may carry a mesh sharding (the DP
+        # train step shards B — flattening T*B would be a ShardingTypeError)
+        r6 = r6d.reshape(r6d.shape[:-1] + (24, 6))
+        R = M.r6d_to_rotation_matrix_nd(r6)            # [T, B, 24, 3, 3]
+        pb = jnp.einsum("tbjrc,jc->tbjr", R[:, :, parent], bone)
+        pb = pb.at[:, :, 0].set(0.0)
+        return jnp.einsum("ij,tbjk->tbik", ancestor, pb)
 
     def loss(ys, labels, lengths):
         m = _mask(ys, lengths)
         l1 = masked_mse(ys, labels, lengths)
-        T, B = ys.shape[:2]
-        jp = fk(ys.reshape(-1, 144)).reshape(T, B, 24, 3)
-        jt = fk(labels.reshape(-1, 144)).reshape(T, B, 24, 3)
+        jp = fk(ys)
+        jt = fk(labels)
         err = ((jp - jt) ** 2) * m[..., None, None]
         l2 = err.sum() / (m.sum() * 72)
         return l1 + fk_weight * l2

@@ -120,15 +120,16 @@ class TestSMPLify:
             model=model, pad_to_multiple=8)
         assert pose_a.shape == (s.length, 24, 3, 3)
         assert np.isfinite(pose_a).all() and np.isfinite(tran_a).all()
-        # 10 small Adam steps move the estimate, but far less than a full
-        # 20-iteration LBFGS fit — i.e. a genuinely different optimizer ran
+        # a genuinely different optimizer ran: both branches move the
+        # estimate, to materially different points
         pose_l, _, _ = smplify_runner(
             pose0, tran0, s.j2dc_px, s.oric, batch_size=s.length,
             cam_k=s.cam_K, lr=0.001, use_lbfgs=True, opt_steps=1,
             model=model, pad_to_multiple=8)
         moved_a = np.abs(pose_a - pose0).max()
         moved_l = np.abs(pose_l - pose0).max()
-        assert 0 < moved_a < moved_l
+        assert moved_a > 0 and moved_l > 0
+        assert np.abs(pose_a - pose_l).max() > 0.01
 
     def test_gate_skips_when_threshold_exceeded(self, world):
         # note: with the reference weights the GMoF reprojection term
