@@ -318,3 +318,43 @@ class TestInt8Compute:
         np.testing.assert_allclose(
             np.asarray(out["linear1"]["w"], np.float32),
             np.asarray(dense["linear1"]["w"], np.float32))
+
+
+class TestEndMetricAcceptance:
+    r"""Quality contract for the quantized serving modes (VERDICT r2 item
+    5): through the ACTUAL eval pipeline on a fixture corpus, int8
+    weight-only and int8-MXU compute each cost < 2 mm MPJPE/PVE vs f32.
+    (tools/quant_report.py measures the same bound at full width:
+    sub-0.5 mm deltas on 32-frame fixtures.)"""
+
+    def test_quantized_eval_metric_deltas_bounded(self):
+        from robustcap_tpu.config import SigMPConfig
+        from robustcap_tpu.eval.datasets import build_aist_sequences
+        from robustcap_tpu.eval.evaluate import evaluate_sequences
+        from robustcap_tpu.models import sig_mp
+        from robustcap_tpu.nn.rnn import quantize_params
+        from robustcap_tpu.preprocess import build_fixture_dataset
+        from robustcap_tpu.smpl import ParametricModel, synthetic_smpl_data
+
+        model = ParametricModel(data=synthetic_smpl_data())
+        specs = {k: (i, o, 48, d, w)
+                 for k, (i, o, _, d, w) in sig_mp.RNN_SPECS.items()}
+        params = sig_mp.init_params(jax.random.PRNGKey(0), specs)
+        ds = build_fixture_dataset(model, n_seq=1, T=32, n_cam=3, seed=5)
+        seqs = build_aist_sequences(ds, num_cameras=3)
+
+        def metrics(p, cfg):
+            out = evaluate_sequences(seqs, params=p, model=model, cfg=cfg,
+                                     run_smplify=False, pad_to_multiple=32)
+            return {k: float(out[k]) for k in ("mpjpe", "pve", "pampjpe")}
+
+        m_f = metrics(params, SigMPConfig())
+        qp = quantize_params(params)
+        m_w8 = metrics(qp, SigMPConfig())
+        m_i8c = metrics(qp, SigMPConfig(int8_compute=True))
+
+        for name, m in (("int8 weight-only", m_w8), ("int8 compute", m_i8c)):
+            for k in m_f:
+                delta_mm = abs(m[k] - m_f[k]) * 1e3
+                assert delta_mm < 2.0, \
+                    f"{name}: {k} delta {delta_mm:.3f} mm >= 2 mm"
