@@ -256,6 +256,95 @@ def main():
             jax.block_until_ready(p)
             train_fps[name] = Tt * Bt / ((time.perf_counter() - t0) / reps_t)
 
+    # -- weight-stationary Pallas inertial path (VERDICT r2 item 1) --------
+    # Three numbers, all RTT-free by chained differencing with DISTINCT
+    # inputs per rep (the tunnel relay caches identical dispatches):
+    #  * standalone rnn2 scan (T steps, B=1): XLA vs the Pallas kernel,
+    #  * on-device kernel-vs-scan max|diff| (numerical parity on real HW),
+    #  * B=1 chunked serving: standard vs cfg.pallas_inertial per-frame ms.
+    pallas = None
+    if (os.environ.get("BENCH_PALLAS", "1") != "0"
+            and time.perf_counter() < deadline):
+        from robustcap_tpu.nn.rnn import rnn_scan
+        from robustcap_tpu.ops.pallas_lstm import rnn_scan_pallas_chunked
+
+        p2 = params["rnn2"]
+        Kp = int(os.environ.get("BENCH_PALLAS_FRAMES", 256))
+
+        def scan_xla(xs):
+            return rnn_scan(p2, xs)[0]
+
+        def scan_pl(xs):
+            return rnn_scan_pallas_chunked(p2, xs)[0]
+
+        jx_fn, jp_fn = jax.jit(scan_xla), jax.jit(scan_pl)
+        reps_p = 5
+        xs_k = [jnp.asarray(rng.randn(Kp, 72) * 0.3, jnp.float32)
+                for _ in range(reps_p)]
+        xs_2k = [jnp.asarray(rng.randn(2 * Kp, 72) * 0.3, jnp.float32)
+                 for _ in range(reps_p)]
+        parity = float(jnp.abs(jp_fn(xs_k[0]) - jx_fn(xs_k[0])).max())
+
+        def diff_ms_per_step(fn):
+            # warm both shapes
+            jax.block_until_ready(fn(xs_k[0]))
+            jax.block_until_ready(fn(xs_2k[0]))
+            out = []
+            for i in range(reps_p):
+                t0 = time.perf_counter()
+                float(fn(xs_k[i]).sum())      # scalar fetch forces exec
+                t1 = time.perf_counter()
+                float(fn(xs_2k[i]).sum())
+                t2 = time.perf_counter()
+                out.append(((t2 - t1) - (t1 - t0)) / Kp * 1e3)
+            return float(np.percentile(out, 50))
+
+        xla_ms = diff_ms_per_step(jx_fn)
+        pl_ms = diff_ms_per_step(jp_fn)
+
+        # B=1 chunked serving end to end
+        def chunk_ms(pallas_flag):
+            c = SigMPConfig(pallas_inertial=pallas_flag)
+            net = sig_mp.StreamingNet(params, model, c)
+            net.forward_online(j2dc[0, 0], accc[0, 0], oric[0, 0],
+                               first_tran=np.zeros(3, np.float32),
+                               first_frame=True)  # clears first_reach
+            K1, K2 = Kp, 2 * Kp
+            # warm both compiled chunk programs
+            net.forward_chunk(j2dc[0, :K1], accc[0, :K1], oric[0, :K1])
+            net.forward_chunk(j2dc[0, :K2], accc[0, :K2], oric[0, :K2])
+            out = []
+            for i in range(reps_p):
+                a = (i + 1) % T
+                sl1 = np.roll(j2dc[0], a, 0)[:K1], \
+                    np.roll(accc[0], a, 0)[:K1], np.roll(oric[0], a, 0)[:K1]
+                sl2 = np.roll(j2dc[0], a, 0)[:K2], \
+                    np.roll(accc[0], a, 0)[:K2], np.roll(oric[0], a, 0)[:K2]
+                t0 = time.perf_counter()
+                _, tr = net.forward_chunk(*sl1)
+                float(jnp.asarray(tr).sum())
+                t1 = time.perf_counter()
+                _, tr = net.forward_chunk(*sl2)
+                float(jnp.asarray(tr).sum())
+                t2 = time.perf_counter()
+                out.append(((t2 - t1) - (t1 - t0)) / K1 * 1e3)
+            return float(np.percentile(out, 50))
+
+        if bench_dtype == "f32" and time.perf_counter() < deadline:
+            std_chunk = chunk_ms(False)
+            pl_chunk = chunk_ms(True)
+        else:
+            std_chunk = pl_chunk = None
+        pallas = {
+            "rnn2_xla_ms_per_step": round(xla_ms, 5),
+            "rnn2_pallas_ms_per_step": round(pl_ms, 5),
+            "kernel_vs_scan_max_abs_diff": round(parity, 6),
+            "chunk_std_ms_per_frame": (None if std_chunk is None
+                                       else round(std_chunk, 5)),
+            "chunk_pallas_ms_per_frame": (None if pl_chunk is None
+                                          else round(pl_chunk, 5)),
+        }
+
     result = {
         "metric": "aist_batched_eval_throughput",
         "value": round(batched_fps, 1),
@@ -273,6 +362,7 @@ def main():
             "int8c_fps": (None if int8c_fps is None else round(int8c_fps, 1)),
             "train_fps": ({k: round(v, 1) for k, v in train_fps.items()}
                           or None),
+            "pallas": pallas,
             "serving_dtype": bench_dtype,
             "batch": B, "frames": T,
             "device": str(jax.devices()[0]),

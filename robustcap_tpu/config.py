@@ -192,6 +192,13 @@ class SigMPConfig:
     # dynamic per-row activation quantization (requires quantize_params
     # weights; see nn/rnn.py). Off for every parity/eval profile.
     int8_compute: bool = False
+    # weight-stationary Pallas pre-scan of the inertial pair (rnn2/rnn3)
+    # in B=1 chunked serving (ops/pallas_lstm.py): their inputs are pure
+    # functions of the frame stream, so whole chunks scan with the stack
+    # weights resident in VMEM (one HBM weight read per chunk instead of
+    # per frame). Exact — same cells, same order; auto-disabled for chunks
+    # where the one-shot IMU-updater state rewrite could still fire.
+    pallas_inertial: bool = False
 
     @staticmethod
     def offline() -> "SigMPConfig":

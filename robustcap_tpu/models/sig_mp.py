@@ -203,7 +203,8 @@ def _masked_state(cond, new, old):
 
 def make_step(body_model: ParametricModel, cfg: SigMPConfig,
               include_first_frame_step: bool = True,
-              output_contacts: bool = False):
+              output_contacts: bool = False,
+              precomputed_inertial: bool = False):
     r"""Build the pure per-frame step closure over body-model constants.
 
     Returns ``step(params, carry, frame) -> (carry, (pose [24,3,3], tran [3]))``
@@ -407,10 +408,20 @@ def make_step(body_model: ParametricModel, cfg: SigMPConfig,
         # -- inertial branch (sig_mp.py:142-145): rotate into root frame
         accr = (accc[:, :, None] * Rcr[None]).sum(1)
         orir = mat3_mul(Rcr.T[None], oric)
-        out2, st2_new = rnn_step(params["rnn2"], _cat(accr, orir), st["rnn2"])
+        if precomputed_inertial:
+            # rnn2/rnn3 outputs pre-scanned outside (their inputs are pure
+            # functions of the frame stream — the weight-stationary Pallas
+            # path, ops/pallas_lstm.py); states ride in the outer program,
+            # and the one-shot IMU-updater rewrite must already have fired
+            # or be disabled (the caller guarantees it).
+            out2, st2_new = frame["out2"], st["rnn2"]
+            out3, st3_new = frame["out3"], st["rnn3"]
+        else:
+            out2, st2_new = rnn_step(params["rnn2"], _cat(accr, orir),
+                                     st["rnn2"])
+            out3, st3_new = rnn_step(params["rnn3"],
+                                     _cat(accr, orir, out2), st["rnn3"])
         j3dr_i = out2
-        out3, st3_new = rnn_step(params["rnn3"], _cat(accr, orir, j3dr_i),
-                                 st["rnn3"])
         vr = out3
 
         j2dc_norm = _bbox_center_normalize(j2dc)
@@ -510,10 +521,16 @@ def make_step(body_model: ParametricModel, cfg: SigMPConfig,
 
         # -- one-shot inertial hidden-state re-init from vision
         # (sig_mp.py:178-183)
-        if cfg.use_imu_updater:
+        if cfg.use_imu_updater and not precomputed_inertial:
             iu_cond = (c >= conf_hi) & carry["first_reach"]
             h_i, c_i = init_net_apply(params["rnn2"], j3dr[None, :])
             st2_final = _masked_state(iu_cond, (h_i[:, 0], c_i[:, 0]), st2_new)
+            first_reach = carry["first_reach"] & ~(c >= conf_hi)
+        elif cfg.use_imu_updater:
+            # precomputed-inertial chunks only run once first_reach is
+            # already cleared (or never set) — the rewrite can't fire, but
+            # the flag still decays identically
+            st2_final = st2_new
             first_reach = carry["first_reach"] & ~(c >= conf_hi)
         else:
             st2_final = st2_new
@@ -686,25 +703,77 @@ class StreamingNet:
         r"""Advance K frames in ONE device dispatch (time-major scan over the
         chunk), amortizing host->device round trips for near-real-time batch
         processing. State carries across chunks like per-frame calls;
-        returns (pose [K, 24, 3, 3], tran [K, 3])."""
+        returns (pose [K, 24, 3, 3], tran [K, 3]).
+
+        With ``cfg.pallas_inertial`` the inertial pair (rnn2/rnn3) is
+        pre-scanned for the whole chunk by the weight-stationary Pallas
+        kernel (their inputs are pure functions of the frame stream), and
+        the fused scan consumes the precomputed outputs. Exact — but the
+        one-shot IMU-updater hidden-state rewrite (sig_mp.py:178-183) can
+        fire mid-chunk only in the standard path, so chunks dispatched
+        while ``first_reach`` is still pending fall back to it.
+        """
         K = int(np.asarray(j2dc).shape[0])
         if not hasattr(self, "_chunk_fns"):
             self._chunk_fns = {}
-        if K not in self._chunk_fns:
+
+        use_pallas = self.cfg.pallas_inertial
+        if use_pallas and self.cfg.use_imu_updater:
+            # one scalar fetch; monotonic, so cache once cleared
+            if not getattr(self, "_first_reach_cleared", False):
+                self._first_reach_cleared = not bool(
+                    np.asarray(self.carry["first_reach"]))
+            use_pallas = self._first_reach_cleared
+
+        key = (K, use_pallas)
+        if key not in self._chunk_fns:
             # chunk frames never carry first-frame flags (set False below),
             # so the steady single-eval variant applies directly
             step = make_step(self.body_model, self.cfg,
-                             include_first_frame_step=False)
+                             include_first_frame_step=False,
+                             precomputed_inertial=use_pallas)
 
-            @partial(jax.jit, donate_argnums=(1,))
-            def run(params, carry, frames):
-                # chunk = a scan: hoist int8 dequant like the offline paths
-                params = prepare_scan_params(params, self.cfg.int8_compute)
-                return jax.lax.scan(partial(step, params), carry, frames)
+            if use_pallas:
+                from ..ops.pallas_lstm import rnn_scan_pallas_chunked
 
-            self._chunk_fns[K] = run
+                @partial(jax.jit, donate_argnums=(1,))
+                def run(params, carry, frames):
+                    scan_params = prepare_scan_params(params,
+                                                      self.cfg.int8_compute)
+                    # inertial features for the whole chunk (vectorized
+                    # forms of the per-frame accr/orir of the step)
+                    oric_c = frames["oric"]
+                    Rcr = oric_c[:, -1]                       # [K, 3, 3]
+                    accr = jnp.einsum("tnc,tcr->tnr", frames["accc"], Rcr)
+                    orir = jnp.einsum("tcr,tncs->tnrs", Rcr, oric_c)
+                    xs2 = jnp.concatenate([accr.reshape(K, -1),
+                                           orir.reshape(K, -1)], axis=-1)
+                    st = carry["states"]
+                    out2, st2 = rnn_scan_pallas_chunked(params["rnn2"], xs2,
+                                                        st["rnn2"])
+                    xs3 = jnp.concatenate([xs2, out2], axis=-1)
+                    out3, st3 = rnn_scan_pallas_chunked(params["rnn3"], xs3,
+                                                        st["rnn3"])
+                    frames = dict(frames, out2=out2.astype(jnp.float32),
+                                  out3=out3.astype(jnp.float32))
+                    new_carry, out = jax.lax.scan(partial(step, scan_params),
+                                                  carry, frames)
+                    new_carry["states"] = dict(new_carry["states"],
+                                               rnn2=st2, rnn3=st3)
+                    return new_carry, out
+            else:
+                @partial(jax.jit, donate_argnums=(1,))
+                def run(params, carry, frames):
+                    # chunk = a scan: hoist int8 dequant like offline paths
+                    scan_params = prepare_scan_params(params,
+                                                      self.cfg.int8_compute)
+                    return jax.lax.scan(partial(step, scan_params), carry,
+                                        frames)
+
+            self._chunk_fns[key] = run
         frames = _sequence_frames(j2dc, accc, oric, None, False, gravityc)
         frames["first_tran_valid"] = jnp.zeros(K, bool)
         frames["first_frame"] = jnp.zeros(K, bool)
-        self.carry, out = self._chunk_fns[K](self.params, self.carry, frames)
+        self.carry, out = self._chunk_fns[key](self.params, self.carry,
+                                               frames)
         return out

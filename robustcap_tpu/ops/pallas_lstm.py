@@ -26,7 +26,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["rnn_scan_pallas", "lstm_stack_vmem_bytes"]
+__all__ = ["rnn_scan_pallas", "rnn_scan_pallas_chunked",
+           "lstm_stack_vmem_bytes"]
 
 
 def lstm_stack_vmem_bytes(params) -> int:
@@ -96,6 +97,37 @@ def _prep(params):
     w2 = params["linear2"]["w"].T                              # [H, out]
     b2 = params["linear2"]["b"][None]
     return w1, b1, wf1, bf1, wf2, bf2, w2, b2
+
+
+def rnn_scan_pallas_chunked(params, xs, state=None, max_chunk: int = 256,
+                            interpret=None):
+    r"""``rnn_scan_pallas`` chained over time chunks.
+
+    VMEM must hold the stack's weights (~13.5 MB f32 for the 512-wide
+    stacks) PLUS one chunk's activations (8 sublane-replicated rows per
+    frame); chunking the time axis keeps the activation footprint to
+    ``max_chunk * 8 * in_size`` floats while weights are re-read from HBM
+    only once per chunk — the whole point of the weight-stationary kernel
+    (one weight read per ``max_chunk`` frames instead of per frame).
+
+    Accepts bf16/int8-quantized params (dequantized + cast to f32: the
+    kernel computes in f32 like ``rnn_scan``'s highest-precision path).
+    ``interpret=None`` auto-selects interpret mode off-TPU so the same
+    caller code is CI-testable on CPU.
+    """
+    from ..nn.rnn import dequantize_params
+
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    params = dequantize_params(params)
+    params = jax.tree.map(lambda x: x.astype(jnp.float32), params)
+    T = xs.shape[0]
+    outs = []
+    for s in range(0, T, max_chunk):
+        ys, state = rnn_scan_pallas(params, xs[s:s + max_chunk], state,
+                                    interpret=interpret)
+        outs.append(ys)
+    return jnp.concatenate(outs), state
 
 
 def rnn_scan_pallas(params, xs, state=None, interpret: bool = False):
