@@ -63,6 +63,26 @@ def _measure_reference_cpu_fps(j2dc, accc, oric, n_frames=40):
 
 
 def main():
+    import threading
+
+    # Hard watchdog: the tunneled TPU backend can go fully down in this
+    # environment (device ops then hang indefinitely, beyond any soft
+    # deadline check). Guarantee the driver still gets ONE json line.
+    hard_s = float(os.environ.get("BENCH_HARD_DEADLINE_S", "560"))
+
+    def _die():
+        print(json.dumps({
+            "metric": "aist_batched_eval_throughput", "value": 0,
+            "unit": "frames/sec", "vs_baseline": 0,
+            "error": f"hard deadline {hard_s:.0f}s exceeded — backend hang "
+                     "(tunnel outage?); partial sections lost"}),
+            flush=True)
+        os._exit(3)
+
+    watchdog = threading.Timer(hard_s, _die)
+    watchdog.daemon = True
+    watchdog.start()
+
     from robustcap_tpu.config import SigMPConfig
     from robustcap_tpu.models import sig_mp
     from robustcap_tpu.smpl import ParametricModel, synthetic_smpl_data
@@ -408,6 +428,7 @@ def main():
                 bundle["load_run_ok"] = False
                 bundle["reason"] = f"{type(e).__name__}: {e}"[:400]
 
+    watchdog.cancel()
     result = {
         "metric": "aist_batched_eval_throughput",
         "value": round(batched_fps, 1),
