@@ -43,6 +43,7 @@ from ..math.spatial import mat3_mul
 from ..config import (IMU_JOINT_MASK, MP_VERTEX_MASK, SigMPConfig, VEL_SCALE)
 from ..nn.rnn import (init_net_apply, init_rnn_params, init_state,
                       prepare_scan_params, rnn_params_from_torch)
+from ..nn.rnn import rnn_pair_step
 from ..nn.rnn import rnn_step as _rnn_step
 from ..smpl.model import ParametricModel
 
@@ -261,11 +262,12 @@ def make_step(body_model: ParametricModel, cfg: SigMPConfig,
         first_tran_valid = frame["first_tran_valid"]
         gravityc = frame["gravityc"]
 
-        # -- heads (sig_mp.py:169-170)
-        out7, st7_new = rnn_step(params["rnn7"], _cat(accr, orir, j3dr),
-                                 st["rnn7"])
-        out8, st8_new = rnn_step(params["rnn8"], _cat(accr, orir, j3dr),
-                                 st["rnn8"])
+        # -- heads (sig_mp.py:169-170): rnn7/rnn8 share the input and the
+        # [141 -> 512 x 2] geometry, so their linear1/gate matmuls run as
+        # single batched MXU calls (bit-identical math, rnn_pair_step)
+        out7, out8, st7_new, st8_new = rnn_pair_step(
+            params["rnn7"], params["rnn8"], _cat(accr, orir, j3dr),
+            st["rnn7"], st["rnn8"], int8_compute=cfg.int8_compute)
         contact = jax.nn.sigmoid(out8)
 
         # -- pose: r6d -> global R -> local pose, root := Rcr (sig_mp.py:173-175)

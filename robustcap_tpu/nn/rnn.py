@@ -374,6 +374,82 @@ def rnn_step(params, x, state, *, dropout: float = 0.0,
              jnp.stack(new_c).astype(out_dtype)))
 
 
+def _same_core_geometry(params_a, params_b) -> bool:
+    r"""True when two stacks share linear1/LSTM shapes (so their per-frame
+    matmuls can be batched together); linear2 heads may differ."""
+    if len(params_a["layers"]) != len(params_b["layers"]):
+        return False
+    if _wshape(params_a["linear1"]["w"]) != _wshape(params_b["linear1"]["w"]):
+        return False
+    for la, lb in zip(params_a["layers"], params_b["layers"]):
+        if _wshape(la["w_ih"]) != _wshape(lb["w_ih"]):
+            return False
+    return True
+
+
+def rnn_pair_step(params_a, params_b, x, state_a, state_b, *,
+                  int8_compute: bool = False):
+    r"""One frame through TWO same-geometry stacks sharing the SAME input,
+    with their linear1 and gate matmuls batched into single MXU calls.
+
+    Motivation: the fused SigMP step evaluates rnn7 and rnn8 (identical
+    inputs, identical [141 -> 512 x 2] geometry, reference sig_mp.py:169-170)
+    back to back — twice per frame in the steady single-eval variant. On TPU
+    ops execute serially, so four small gate matmuls per head call become two
+    batched ones here, shortening the step's serial matmul chain
+    (docs/PERFORMANCE.md: the bank is a ~14-matmul dependency chain at ~50%
+    MXU). The batching is a leading stack dimension on weights/state via
+    ``vmap``, so every output element remains the same dot product over the
+    same operands — results are bit-identical to two ``rnn_step`` calls on
+    CPU and differ only by MXU tile scheduling on device. The tiny linear2
+    heads (different output sizes: 144 vs 2) stay per-stack.
+
+    Falls back to two plain steps when geometries differ (tests use
+    heterogeneous small widths). Returns ``(out_a, out_b, state_a, state_b)``.
+    """
+    if not _same_core_geometry(params_a, params_b):
+        out_a, state_a = rnn_step(params_a, x, state_a,
+                                  int8_compute=int8_compute)
+        out_b, state_b = rnn_step(params_b, x, state_b,
+                                  int8_compute=int8_compute)
+        return out_a, out_b, state_a, state_b
+
+    core_a = {"linear1": params_a["linear1"], "layers": params_a["layers"]}
+    core_b = {"linear1": params_b["linear1"], "layers": params_b["layers"]}
+    # jnp.stack of the loop-invariant weight leaves is hoisted out of scans
+    # by XLA exactly like lstm_cell's gate concat; qtensor leaves ("q",
+    # "scale") stack too and un-map back into valid qtensors under vmap.
+    core = jax.tree.map(lambda a, b: jnp.stack([a, b]), core_a, core_b)
+    st = jax.tree.map(lambda a, b: jnp.stack([a, b]), state_a, state_b)
+
+    w_dtype = _compute_dtype(params_a)
+    out_dtype = x.dtype
+    if x.dtype != w_dtype:
+        x = x.astype(w_dtype)
+    st = jax.tree.map(lambda t: t.astype(w_dtype), st)
+
+    def run_core(core_p, s):
+        h, c = s
+        y = jax.nn.relu(_linear(core_p["linear1"], x))
+        new_h, new_c = [], []
+        inp = y
+        for l, layer in enumerate(core_p["layers"]):
+            hn, cn = lstm_cell(layer, inp, h[l], c[l],
+                               int8_compute=int8_compute)
+            new_h.append(hn)
+            new_c.append(cn)
+            inp = hn
+        return inp, (jnp.stack(new_h), jnp.stack(new_c))
+
+    last, new_st = jax.vmap(run_core, in_axes=(0, 0))(core, st)
+    out_a = _linear(params_a["linear2"], last[0].astype(w_dtype))
+    out_b = _linear(params_b["linear2"], last[1].astype(w_dtype))
+    new_st = jax.tree.map(lambda t: t.astype(out_dtype), new_st)
+    unstack = lambda i: jax.tree.map(lambda t: t[i], new_st)
+    return (out_a.astype(out_dtype), out_b.astype(out_dtype),
+            unstack(0), unstack(1))
+
+
 def rnn_scan(params, xs, state0=None, *, dropout: float = 0.0,
              rng: Optional[jax.Array] = None, int8_compute: bool = False):
     r"""Run a whole sequence: xs [T, ..., in] -> (ys [T, ..., out], state).

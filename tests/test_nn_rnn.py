@@ -106,3 +106,70 @@ class TestLSTMParity:
         ys, _ = rnn_scan(params, xs, dropout=0.4, rng=jax.random.PRNGKey(2))
         assert ys.shape == (4, 2, 5)
         assert np.isfinite(np.asarray(ys)).all()
+
+
+class TestPairStep:
+    r"""rnn_pair_step: the batched rnn7/rnn8 head evaluation (the fused
+    SigMP step runs the two same-geometry stacks on one shared input —
+    reference sig_mp.py:169-170); must match two separate rnn_step calls."""
+
+    def _pair(self, hidden_b=16, seed=0):
+        from robustcap_tpu.nn import rnn_pair_step  # noqa: F401
+        ka, kb, kx = jax.random.split(jax.random.PRNGKey(seed), 3)
+        pa = init_rnn_params(ka, 14, 9, 16, 2)
+        pb = init_rnn_params(kb, 14, 2, hidden_b, 2)
+        x = jax.random.normal(kx, (14,))
+        return pa, pb, x
+
+    def test_matches_two_steps(self):
+        from robustcap_tpu.nn import rnn_pair_step
+        pa, pb, x = self._pair()
+        sa, sb = init_state(pa), init_state(pb)
+        oa, na = rnn_step(pa, x, sa)
+        ob, nb = rnn_step(pb, x, sb)
+        oa2, ob2, na2, nb2 = rnn_pair_step(pa, pb, x, sa, sb)
+        np.testing.assert_allclose(oa2, oa, atol=1e-6)
+        np.testing.assert_allclose(ob2, ob, atol=1e-6)
+        for got, want in ((na2, na), (nb2, nb)):
+            for g, w in zip(jax.tree.leaves(got), jax.tree.leaves(want)):
+                np.testing.assert_allclose(g, w, atol=1e-6)
+
+    def test_heterogeneous_geometry_falls_back(self):
+        from robustcap_tpu.nn import rnn_pair_step
+        pa, pb, x = self._pair(hidden_b=12)
+        sa, sb = init_state(pa), init_state(pb)
+        oa, _ = rnn_step(pa, x, sa)
+        ob, _ = rnn_step(pb, x, sb)
+        oa2, ob2, _, _ = rnn_pair_step(pa, pb, x, sa, sb)
+        np.testing.assert_allclose(oa2, oa, atol=0)
+        np.testing.assert_allclose(ob2, ob, atol=0)
+
+    def test_int8_compute_path(self):
+        from robustcap_tpu.nn import (dequantize_non_gate_params,
+                                      quantize_params, rnn_pair_step)
+        pa, pb, x = self._pair(seed=3)
+        qa = dequantize_non_gate_params(quantize_params(pa))
+        qb = dequantize_non_gate_params(quantize_params(pb))
+        sa, sb = init_state(qa), init_state(qb)
+        oa, _ = rnn_step(qa, x, sa, int8_compute=True)
+        ob, _ = rnn_step(qb, x, sb, int8_compute=True)
+        oa2, ob2, _, _ = rnn_pair_step(qa, qb, x, sa, sb, int8_compute=True)
+        np.testing.assert_allclose(oa2, oa, atol=1e-5)
+        np.testing.assert_allclose(ob2, ob, atol=1e-5)
+
+    def test_batched_input(self):
+        # the offline path vmaps the step over sequences: a leading batch
+        # dim on x/state must flow through the pair fusion unchanged
+        from robustcap_tpu.nn import rnn_pair_step
+        pa, pb, x = self._pair(seed=5)
+        B = 3
+        xB = jnp.broadcast_to(x, (B, 14)) + jnp.arange(B)[:, None] * 0.1
+        sa, sb = init_state(pa, (B,)), init_state(pb, (B,))
+        oa, na = rnn_step(pa, xB, sa)
+        ob, nb = rnn_step(pb, xB, sb)
+        oa2, ob2, na2, nb2 = rnn_pair_step(pa, pb, xB, sa, sb)
+        np.testing.assert_allclose(oa2, oa, atol=1e-6)
+        np.testing.assert_allclose(ob2, ob, atol=1e-6)
+        for g, w in zip(jax.tree.leaves((na2, nb2)),
+                        jax.tree.leaves((na, nb))):
+            np.testing.assert_allclose(g, w, atol=1e-6)
