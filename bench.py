@@ -83,13 +83,29 @@ def main():
     watchdog.daemon = True
     watchdog.start()
 
+    # Every optional section runs under this guard: a failure in one
+    # (e.g. a kernel the real chip rejects — the round-3 Pallas scoped-VMEM
+    # overflow crashed the whole bench before any JSON line) is recorded in
+    # extra.section_errors instead of killing the measurement run.
+    section_errors = {}
+
+    def guarded(label, fn, default=None):
+        try:
+            return fn()
+        except Exception as e:  # noqa: BLE001 - report, don't die
+            section_errors[label] = f"{type(e).__name__}: {e}"[:300]
+            return default
+
     from robustcap_tpu.config import SigMPConfig
     from robustcap_tpu.models import sig_mp
     from robustcap_tpu.smpl import ParametricModel, synthetic_smpl_data
 
     B = int(os.environ.get("BENCH_BATCH", 512))
     T = int(os.environ.get("BENCH_FRAMES", 512))
-    K = int(os.environ.get("BENCH_SEQ_FRAMES", 240))
+    # the latency differencing runs K and 2K frame scans sliced from the
+    # T-frame pool, so K can't exceed T//2 (the raw-data slices would
+    # silently clamp while the generated fields wouldn't — shape mismatch)
+    K = min(int(os.environ.get("BENCH_SEQ_FRAMES", 240)), max(T // 2, 1))
     # soft deadline: optional sections (int8c, smplify, per-dispatch
     # latency) are skipped once exceeded, so a slow host/tunnel still
     # produces the JSON line instead of being killed by an outer timeout
@@ -157,15 +173,18 @@ def main():
     batched_fps = B * T / dt
 
     # -- int8-MXU serving mode (approximate; docs/PERFORMANCE.md) ----------
-    int8c_fps = None
-    if (bench_dtype == "f32" and os.environ.get("BENCH_INT8C", "1") != "0"
-            and time.perf_counter() < deadline):
+    def run_int8c():
         qparams, _, qbatched = int8c_setup(params)
         jax.block_until_ready(qbatched(qparams, frames))
         t0 = time.perf_counter()
         for _ in range(reps):
             jax.block_until_ready(qbatched(qparams, frames))
-        int8c_fps = B * T / ((time.perf_counter() - t0) / reps)
+        return B * T / ((time.perf_counter() - t0) / reps)
+
+    int8c_fps = None
+    if (bench_dtype == "f32" and os.environ.get("BENCH_INT8C", "1") != "0"
+            and time.perf_counter() < deadline):
+        int8c_fps = guarded("int8c", run_int8c)
 
     # -- on-device streaming step latency (B=1), RTT-free by differencing --
     one_k = make_frames(1, K)
@@ -187,8 +206,7 @@ def main():
 
     # wall-clock per-frame dispatch through the tunnel (context only; the
     # ~30-40 ms RTT of this environment's network-attached TPU dominates)
-    tunnel_p50_ms = None
-    if time.perf_counter() < deadline:
+    def run_tunnel_latency():
         net = sig_mp.StreamingNet(params, model, cfg)
         net.forward_online(j2dc[0, 0], accc[0, 0], oric[0, 0],
                            first_tran=np.zeros(3, np.float32))  # compile
@@ -199,15 +217,17 @@ def main():
                                        oric[0, t % T])
             jax.block_until_ready(tr)
             lat.append(time.perf_counter() - s)
-        tunnel_p50_ms = float(np.percentile(lat, 50) * 1e3)
+        return float(np.percentile(lat, 50) * 1e3)
+
+    tunnel_p50_ms = None
+    if time.perf_counter() < deadline:
+        tunnel_p50_ms = guarded("tunnel_latency", run_tunnel_latency)
 
     # -- baseline: the real reference on this host's CPU -------------------
     ref_fps, baseline_kind = _measure_reference_cpu_fps(j2dc, accc, oric)
 
     # -- SMPLify batched refinement throughput (VERDICT item 2) ------------
-    smplify_fps = None
-    if (os.environ.get("BENCH_SMPLIFY", "1") != "0"
-            and time.perf_counter() < deadline):
+    def run_smplify():
         from robustcap_tpu.smplify.runner import _jitted_fit
         from robustcap_tpu.smplify.prior import MaxMixturePrior
         prior = MaxMixturePrior("data/dataset_work", num_gaussians=8)
@@ -230,7 +250,12 @@ def main():
         jax.block_until_ready(fit(*args))  # compile + warm
         t0 = time.perf_counter()
         jax.block_until_ready(fit(*args))
-        smplify_fps = Bs * Ts / (time.perf_counter() - t0)
+        return Bs * Ts / (time.perf_counter() - t0)
+
+    smplify_fps = None
+    if (os.environ.get("BENCH_SMPLIFY", "1") != "0"
+            and time.perf_counter() < deadline):
+        smplify_fps = guarded("smplify", run_smplify)
 
     # -- training step throughput (VERDICT r2 item 3) ----------------------
     # DP train step over a mesh of all attached devices (one chip here;
@@ -238,9 +263,7 @@ def main():
     # exercise). rnn4 = the widest module (1280), rnn7 = the FK-loss head.
     # Match: reference articulate/utils/torch/train.py:15, net/sig_mp.py
     # trainers (train_rnn4:436-574, train_rnn7:700-787).
-    train_fps = {}
-    if (os.environ.get("BENCH_TRAIN", "1") != "0"
-            and time.perf_counter() < deadline):
+    def run_train():
         import optax
 
         from robustcap_tpu.models.sig_mp import RNN_SPECS
@@ -249,9 +272,13 @@ def main():
         from robustcap_tpu.train.losses import make_fk_pose_loss, masked_mse
         from robustcap_tpu.train.trainers import make_forward_fn
 
-        mesh = jax.make_mesh((len(jax.devices()),), ("data",))
+        import math
         Tt = int(os.environ.get("BENCH_TRAIN_FRAMES", 200))
         Bt = int(os.environ.get("BENCH_TRAIN_BATCH", 256))
+        # the data mesh must evenly divide the batch (tiny smoke batches
+        # under the 8-virtual-device CPU conftest otherwise can't shard)
+        mesh = jax.make_mesh((math.gcd(len(jax.devices()), Bt),), ("data",))
+        fps = {}
         for name, loss_fn in (("rnn4", masked_mse),
                               ("rnn7", make_fk_pose_loss(model))):
             i, o, h, dropout, with_init = RNN_SPECS[name]
@@ -274,7 +301,13 @@ def main():
                 p, opt_state, loss = step(p, opt_state, xs, ys, lengths,
                                           None, key, 1.0)
             jax.block_until_ready(p)
-            train_fps[name] = Tt * Bt / ((time.perf_counter() - t0) / reps_t)
+            fps[name] = Tt * Bt / ((time.perf_counter() - t0) / reps_t)
+        return fps
+
+    train_fps = {}
+    if (os.environ.get("BENCH_TRAIN", "1") != "0"
+            and time.perf_counter() < deadline):
+        train_fps = guarded("train", run_train, default={})
 
     # -- weight-stationary Pallas inertial path (VERDICT r2 item 1) --------
     # Three numbers, all RTT-free by chained differencing with DISTINCT
@@ -282,14 +315,15 @@ def main():
     #  * standalone rnn2 scan (T steps, B=1): XLA vs the Pallas kernel,
     #  * on-device kernel-vs-scan max|diff| (numerical parity on real HW),
     #  * B=1 chunked serving: standard vs cfg.pallas_inertial per-frame ms.
-    pallas = None
-    if (os.environ.get("BENCH_PALLAS", "1") != "0"
-            and time.perf_counter() < deadline):
+    def run_pallas():
         from robustcap_tpu.nn.rnn import rnn_scan
         from robustcap_tpu.ops.pallas_lstm import rnn_scan_pallas_chunked
 
         p2 = params["rnn2"]
-        Kp = int(os.environ.get("BENCH_PALLAS_FRAMES", 256))
+        # long enough that the kernel's per-step cost (~µs) resolves above
+        # tunnel jitter in the K-vs-2K differencing (at 256 the Pallas run
+        # sits under the noise floor and can difference negative)
+        Kp = int(os.environ.get("BENCH_PALLAS_FRAMES", 1024))
 
         def scan_xla(xs):
             return rnn_scan(p2, xs)[0]
@@ -322,14 +356,18 @@ def main():
         xla_ms = diff_ms_per_step(jx_fn)
         pl_ms = diff_ms_per_step(jp_fn)
 
-        # B=1 chunked serving end to end
+        # B=1 chunked serving end to end (chunks slice the T-frame data
+        # pool, so the chunk length is capped at T//2 independently of the
+        # standalone probe's generated-data length)
+        Kc = min(Kp, T // 2)
+
         def chunk_ms(pallas_flag):
             c = SigMPConfig(pallas_inertial=pallas_flag)
             net = sig_mp.StreamingNet(params, model, c)
             net.forward_online(j2dc[0, 0], accc[0, 0], oric[0, 0],
                                first_tran=np.zeros(3, np.float32),
                                first_frame=True)  # clears first_reach
-            K1, K2 = Kp, 2 * Kp
+            K1, K2 = Kc, 2 * Kc
             # warm both compiled chunk programs
             net.forward_chunk(j2dc[0, :K1], accc[0, :K1], oric[0, :K1])
             net.forward_chunk(j2dc[0, :K2], accc[0, :K2], oric[0, :K2])
@@ -355,7 +393,7 @@ def main():
             pl_chunk = chunk_ms(True)
         else:
             std_chunk = pl_chunk = None
-        pallas = {
+        return {
             "rnn2_xla_ms_per_step": round(xla_ms, 5),
             "rnn2_pallas_ms_per_step": round(pl_ms, 5),
             "kernel_vs_scan_max_abs_diff": round(parity, 6),
@@ -365,15 +403,18 @@ def main():
                                           else round(pl_chunk, 5)),
         }
 
+    pallas = None
+    if (os.environ.get("BENCH_PALLAS", "1") != "0"
+            and time.perf_counter() < deadline):
+        pallas = guarded("pallas", run_pallas)
+
     # -- AOT serving bundle on the real backend (VERDICT r2 item 6) --------
     # Export runs in a SUBPROCESS under a hard timeout: tpu-platform
     # jax.export lowering through the tunneled backend is a documented
     # hang hazard (docs/PERFORMANCE.md) — this either proves it fixed or
     # pins the reproduction, every round. On success the parent loads the
     # artifact and executes frames on the chip (the load+run path).
-    bundle = None
-    if (os.environ.get("BENCH_BUNDLE", "1") != "0"
-            and time.perf_counter() < deadline):
+    def run_bundle():
         import subprocess
         import tempfile
         bdir = tempfile.mkdtemp(prefix="rc_bundle_")
@@ -427,6 +468,12 @@ def main():
             except Exception as e:  # noqa: BLE001 - report, don't die
                 bundle["load_run_ok"] = False
                 bundle["reason"] = f"{type(e).__name__}: {e}"[:400]
+        return bundle
+
+    bundle = None
+    if (os.environ.get("BENCH_BUNDLE", "1") != "0"
+            and time.perf_counter() < deadline):
+        bundle = guarded("serving_bundle", run_bundle)
 
     watchdog.cancel()
     result = {
@@ -449,6 +496,7 @@ def main():
             "pallas": pallas,
             "serving_bundle": bundle,
             "serving_dtype": bench_dtype,
+            "section_errors": section_errors or None,
             "batch": B, "frames": T,
             "device": str(jax.devices()[0]),
         },
@@ -457,4 +505,12 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except BaseException as e:  # noqa: BLE001 - the driver needs its line
+        if not isinstance(e, SystemExit):
+            print(json.dumps({
+                "metric": "aist_batched_eval_throughput", "value": 0,
+                "unit": "frames/sec", "vs_baseline": 0,
+                "error": f"{type(e).__name__}: {e}"[:400]}), flush=True)
+        raise

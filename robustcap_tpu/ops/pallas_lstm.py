@@ -153,6 +153,16 @@ def rnn_scan_pallas(params, xs, state=None, interpret: bool = False):
         c0 = jnp.repeat(state[1].astype(jnp.float32), 8, axis=0)
     ops = _prep(params)
 
+    # Mosaic's default scoped-VMEM limit is 16 MiB; a 512-wide stack's f32
+    # weights alone are ~17 MiB (wf1+wf2 = 2 x 8.4 MiB), so the real chip
+    # rejects the kernel at the default (observed: "scoped allocation
+    # 16.53M ... limit 16.00M" on v5e). Size the limit from the actual
+    # operand footprint plus headroom — v5e has 128 MiB VMEM, and this
+    # kernel is the only thing resident while it runs.
+    operand_f32s = (xs8.size + h0.size + c0.size + 8 * T * out_size
+                    + 4 * 16 * H + sum(int(np.prod(o.shape)) for o in ops))
+    vmem_limit = max(16 * 2 ** 20, int(operand_f32s * 4 * 1.25))
+
     out, hN, cN = pl.pallas_call(
         partial(_kernel, T=T, H=H, in_size=in_size, out_size=out_size),
         out_shape=(
@@ -168,6 +178,7 @@ def rnn_scan_pallas(params, xs, state=None, interpret: bool = False):
             pltpu.VMEM((16, H), jnp.float32),   # h for 2 layers x 8 rows
             pltpu.VMEM((16, H), jnp.float32),   # c
         ],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=vmem_limit),
         interpret=interpret,
     )(xs8, h0, c0, *ops)
     return out[::8], (hN[::8], cN[::8])
