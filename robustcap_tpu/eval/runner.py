@@ -60,7 +60,10 @@ def stack_frames(seqs: List[EvalSequence], pad_len: int,
 
 def _make_batched_fn(body_model: ParametricModel, cfg: SigMPConfig,
                      mesh: Optional[jax.sharding.Mesh]):
-    step = sig_mp.make_step(body_model, cfg, include_first_frame_step=False)
+    # big-batch path: keep the speculative-head fusion off (see make_step —
+    # it wins ~9% at B=1 but loses to state-stacking traffic at MXU-wide B)
+    step = sig_mp.make_step(body_model, cfg, include_first_frame_step=False,
+                            fuse_spec_heads=False)
 
     def run_one(params, frames):
         frame0 = jax.tree.map(lambda x: x[0], frames)

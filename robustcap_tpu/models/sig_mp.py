@@ -43,7 +43,7 @@ from ..math.spatial import mat3_mul
 from ..config import (IMU_JOINT_MASK, MP_VERTEX_MASK, SigMPConfig, VEL_SCALE)
 from ..nn.rnn import (init_net_apply, init_rnn_params, init_state,
                       prepare_scan_params, rnn_params_from_torch)
-from ..nn.rnn import rnn_pair_step
+from ..nn.rnn import _same_core_geometry, rnn_group_step, rnn_pair_step
 from ..nn.rnn import rnn_step as _rnn_step
 from ..smpl.model import ParametricModel
 
@@ -205,7 +205,8 @@ def _masked_state(cond, new, old):
 def make_step(body_model: ParametricModel, cfg: SigMPConfig,
               include_first_frame_step: bool = True,
               output_contacts: bool = False,
-              precomputed_inertial: bool = False):
+              precomputed_inertial: bool = False,
+              fuse_spec_heads: bool = True):
     r"""Build the pure per-frame step closure over body-model constants.
 
     Returns ``step(params, carry, frame) -> (carry, (pose [24,3,3], tran [3]))``
@@ -227,6 +228,14 @@ def make_step(body_model: ParametricModel, cfg: SigMPConfig,
     speculation is discarded — verified by the explicit-branching oracle,
     the golden fixture, batched-vs-streaming agreement, and frame-by-frame
     parity with the running torch reference.
+
+    ``fuse_spec_heads`` (steady variant only) additionally evaluates rnn3
+    and the speculative rnn7/rnn8 heads as ONE stacked group per frame —
+    they consume the identical input vector — shortening the step's serial
+    matmul chain by 3 levels (bit-identical math, ``rnn_group_step``). It
+    wins ~9% at B=1 serving but loses a few % under MXU-wide vmapped
+    batches to per-step state stacking, so the big-batch builders
+    (``forward_offline_batched``, the eval runner) disable it.
     """
     parent_clamped = jnp.asarray(body_model.tree.parent_clamped)
     ancestor = jnp.asarray(body_model.tree.ancestor_matrix)
@@ -253,10 +262,13 @@ def make_step(body_model: ParametricModel, cfg: SigMPConfig,
         return (ancestor[:, :, None] * pb[None, :, :]).sum(1)
 
     def heads_and_tail(params, carry, frame, st, c, Rcr, accr, orir, vr,
-                       j3dr, pc, k_lerp):
+                       j3dr, pc, k_lerp, heads_pre=None):
         r"""rnn7/rnn8 heads + the pose/translation/floor/landmark tail
         (sig_mp.py:169-261). Pure: reads ``carry``, never writes it; all
-        updated values ride in the returned dict."""
+        updated values ride in the returned dict. ``heads_pre`` supplies an
+        already-evaluated ``(out7, out8, st7_new, st8_new)`` on the same
+        input (the steady variant's speculative call fuses the heads with
+        rnn3 — see step below)."""
         j2dc = frame["j2dc"]
         first_frame = frame["first_frame"]
         first_tran_valid = frame["first_tran_valid"]
@@ -265,9 +277,12 @@ def make_step(body_model: ParametricModel, cfg: SigMPConfig,
         # -- heads (sig_mp.py:169-170): rnn7/rnn8 share the input and the
         # [141 -> 512 x 2] geometry, so their linear1/gate matmuls run as
         # single batched MXU calls (bit-identical math, rnn_pair_step)
-        out7, out8, st7_new, st8_new = rnn_pair_step(
-            params["rnn7"], params["rnn8"], _cat(accr, orir, j3dr),
-            st["rnn7"], st["rnn8"], int8_compute=cfg.int8_compute)
+        if heads_pre is None:
+            out7, out8, st7_new, st8_new = rnn_pair_step(
+                params["rnn7"], params["rnn8"], _cat(accr, orir, j3dr),
+                st["rnn7"], st["rnn8"], int8_compute=cfg.int8_compute)
+        else:
+            out7, out8, st7_new, st8_new = heads_pre
         contact = jax.nn.sigmoid(out8)
 
         # -- pose: r6d -> global R -> local pose, root := Rcr (sig_mp.py:173-175)
@@ -410,6 +425,7 @@ def make_step(body_model: ParametricModel, cfg: SigMPConfig,
         # -- inertial branch (sig_mp.py:142-145): rotate into root frame
         accr = (accc[:, :, None] * Rcr[None]).sum(1)
         orir = mat3_mul(Rcr.T[None], oric)
+        spec_heads = None
         if precomputed_inertial:
             # rnn2/rnn3 outputs pre-scanned outside (their inputs are pure
             # functions of the frame stream — the weight-stationary Pallas
@@ -421,8 +437,30 @@ def make_step(body_model: ParametricModel, cfg: SigMPConfig,
         else:
             out2, st2_new = rnn_step(params["rnn2"], _cat(accr, orir),
                                      st["rnn2"])
-            out3, st3_new = rnn_step(params["rnn3"],
-                                     _cat(accr, orir, out2), st["rnn3"])
+            in3 = _cat(accr, orir, out2)
+            # -- fused triple (steady serving variant only): rnn3 and the
+            # SPECULATIVE rnn7/rnn8 head evaluation all consume this exact
+            # input vector (sig_mp.py:145 vs :169-170 with the occluded
+            # branch's j3dr = out2) and share the [141 -> 512 x 2]
+            # geometry, so the three stacks run as ONE batched group —
+            # 3 serial matmul levels instead of 6 on the step's critical
+            # path (rnn_group_step; bit-identical per-element math).
+            # On-chip A/B (B=1, T=1024): 0.377 vs 0.413 ms/step full — ~9%;
+            # at B=512 the per-step state stack/unstack traffic outweighs
+            # the shorter chain (0.77 vs 0.74 ms/step), so the big-batch
+            # builders pass fuse_spec_heads=False.
+            if (fuse_spec_heads and not include_first_frame_step
+                    and cfg.use_vision_updater
+                    and _same_core_geometry(params["rnn3"], params["rnn7"])
+                    and _same_core_geometry(params["rnn3"], params["rnn8"])):
+                (out3, out7_s, out8_s), (st3_new, st7_s, st8_s) = \
+                    rnn_group_step(
+                        (params["rnn3"], params["rnn7"], params["rnn8"]),
+                        in3, (st["rnn3"], st["rnn7"], st["rnn8"]),
+                        int8_compute=cfg.int8_compute)
+                spec_heads = (out7_s, out8_s, st7_s, st8_s)
+            else:
+                out3, st3_new = rnn_step(params["rnn3"], in3, st["rnn3"])
         j3dr_i = out2
         vr = out3
 
@@ -483,7 +521,8 @@ def make_step(body_model: ParametricModel, cfg: SigMPConfig,
                 # final tail recomputes in that case.
                 T_spec = heads_and_tail(params, carry, frame, st, c, Rcr,
                                         accr, orir, vr,
-                                        j3dr_i.reshape(-1), pc_first, k_lerp)
+                                        j3dr_i.reshape(-1), pc_first, k_lerp,
+                                        heads_pre=spec_heads)
                 vu_cond = c <= conf_lo
                 if cfg.live:
                     vu_cond = vu_cond & (
@@ -650,7 +689,10 @@ def forward_offline_batched(params, body_model, cfg, frames_batched,
     callers mask outputs past ``lengths``; hidden-state pollution after a
     sequence's end never flows back into valid frames."""
     params = prepare_scan_params(params, cfg.int8_compute)  # hoist dequant
-    step = make_step(body_model, cfg, include_first_frame_step=False)
+    # big-batch path: the serial-chain-shortening head fusion loses to its
+    # per-step state-stacking traffic once the vmapped matmuls are MXU-wide
+    step = make_step(body_model, cfg, include_first_frame_step=False,
+                     fuse_spec_heads=False)
 
     def run_one(frames):
         frame0 = jax.tree.map(lambda x: x[0], frames)

@@ -2,7 +2,8 @@ r"""Neural-network primitives (LSTM stacks, torch-compatible layouts)."""
 
 from .rnn import (  # noqa: F401
     init_linear, init_lstm_layer, init_rnn_params, init_state, lstm_cell,
-    rnn_step, rnn_pair_step, rnn_scan, rnn_forward_padded, init_net_apply,
+    rnn_step, rnn_pair_step, rnn_group_step, rnn_scan, rnn_forward_padded,
+    init_net_apply,
     rnn_params_from_torch, cast_params, quantize_params, quantize_tensor,
     dequantize_tensor, dequantize_params, dequantize_non_gate_params,
     is_quantized, quantize_activation,
@@ -11,7 +12,7 @@ from .rnn import (  # noqa: F401
 
 __all__ = [
     "init_linear", "init_lstm_layer", "init_rnn_params", "init_state",
-    "lstm_cell", "rnn_step", "rnn_pair_step", "rnn_scan",
+    "lstm_cell", "rnn_step", "rnn_pair_step", "rnn_group_step", "rnn_scan",
     "rnn_forward_padded",
     "init_net_apply", "rnn_params_from_torch", "cast_params",
     "quantize_params", "quantize_tensor", "dequantize_tensor",

@@ -31,7 +31,8 @@ __all__ = [
     "init_net_apply", "rnn_params_from_torch", "cast_params",
     "quantize_tensor", "dequantize_tensor", "quantize_params",
     "dequantize_params", "dequantize_non_gate_params", "is_quantized",
-    "quantize_activation", "prepare_scan_params",
+    "quantize_activation", "prepare_scan_params", "rnn_group_step",
+    "rnn_pair_step",
     "pure_rnn_params_from_torch", "pure_rnn_forward_padded",
     "cycle_rnn_params_from_torch", "cycle_rnn_forward_padded",
 ]
@@ -387,42 +388,48 @@ def _same_core_geometry(params_a, params_b) -> bool:
     return True
 
 
-def rnn_pair_step(params_a, params_b, x, state_a, state_b, *,
-                  int8_compute: bool = False):
-    r"""One frame through TWO same-geometry stacks sharing the SAME input,
+def rnn_group_step(params_seq, x, states, *, int8_compute: bool = False):
+    r"""One frame through N same-geometry stacks sharing the SAME input,
     with their linear1 and gate matmuls batched into single MXU calls.
 
-    Motivation: the fused SigMP step evaluates rnn7 and rnn8 (identical
-    inputs, identical [141 -> 512 x 2] geometry, reference sig_mp.py:169-170)
-    back to back — twice per frame in the steady single-eval variant. On TPU
-    ops execute serially, so four small gate matmuls per head call become two
-    batched ones here, shortening the step's serial matmul chain
-    (docs/PERFORMANCE.md: the bank is a ~14-matmul dependency chain at ~50%
-    MXU). The batching is a leading stack dimension on weights/state via
-    ``vmap``, so every output element remains the same dot product over the
-    same operands — results are bit-identical to two ``rnn_step`` calls on
-    CPU and differ only by MXU tile scheduling on device. The tiny linear2
-    heads (different output sizes: 144 vs 2) stay per-stack.
+    Motivation: the fused SigMP step contains groups of stacks that consume
+    one input vector back to back — rnn7/rnn8 (identical inputs, identical
+    [141 -> 512 x 2] geometry, reference sig_mp.py:169-170), and in the
+    steady single-eval variant also rnn3 together with the *speculative*
+    rnn7/rnn8 evaluation (all three read ``cat(accr, orir, out2)``,
+    sig_mp.py:145,169-170 with the occluded-branch ``j3dr = out2``). On TPU
+    ops execute serially, so 2N small gate matmuls become two batched ones
+    here, shortening the step's serial matmul chain (docs/PERFORMANCE.md:
+    the bank is a serial matmul dependency chain at ~50% MXU). The batching
+    is a leading stack dimension on weights/state via ``vmap``, so every
+    output element remains the same dot product over the same operands —
+    results are bit-identical to N ``rnn_step`` calls on CPU and differ only
+    by MXU tile scheduling on device. The tiny linear2 heads (different
+    output sizes) stay per-stack.
 
-    Falls back to two plain steps when geometries differ (tests use
-    heterogeneous small widths). Returns ``(out_a, out_b, state_a, state_b)``.
+    Falls back to N plain steps when geometries differ (tests use
+    heterogeneous small widths). Returns ``(outs, new_states)`` tuples.
     """
-    if not _same_core_geometry(params_a, params_b):
-        out_a, state_a = rnn_step(params_a, x, state_a,
-                                  int8_compute=int8_compute)
-        out_b, state_b = rnn_step(params_b, x, state_b,
-                                  int8_compute=int8_compute)
-        return out_a, out_b, state_a, state_b
+    params_seq = tuple(params_seq)
+    states = tuple(states)
+    if len(params_seq) == 1 or not all(
+            _same_core_geometry(params_seq[0], p) for p in params_seq[1:]):
+        outs, new_states = [], []
+        for p, s in zip(params_seq, states):
+            o, ns = rnn_step(p, x, s, int8_compute=int8_compute)
+            outs.append(o)
+            new_states.append(ns)
+        return tuple(outs), tuple(new_states)
 
-    core_a = {"linear1": params_a["linear1"], "layers": params_a["layers"]}
-    core_b = {"linear1": params_b["linear1"], "layers": params_b["layers"]}
+    cores = [{"linear1": p["linear1"], "layers": p["layers"]}
+             for p in params_seq]
     # jnp.stack of the loop-invariant weight leaves is hoisted out of scans
     # by XLA exactly like lstm_cell's gate concat; qtensor leaves ("q",
     # "scale") stack too and un-map back into valid qtensors under vmap.
-    core = jax.tree.map(lambda a, b: jnp.stack([a, b]), core_a, core_b)
-    st = jax.tree.map(lambda a, b: jnp.stack([a, b]), state_a, state_b)
+    core = jax.tree.map(lambda *ws: jnp.stack(ws), *cores)
+    st = jax.tree.map(lambda *ss: jnp.stack(ss), *states)
 
-    w_dtype = _compute_dtype(params_a)
+    w_dtype = _compute_dtype(params_seq[0])
     out_dtype = x.dtype
     if x.dtype != w_dtype:
         x = x.astype(w_dtype)
@@ -442,12 +449,23 @@ def rnn_pair_step(params_a, params_b, x, state_a, state_b, *,
         return inp, (jnp.stack(new_h), jnp.stack(new_c))
 
     last, new_st = jax.vmap(run_core, in_axes=(0, 0))(core, st)
-    out_a = _linear(params_a["linear2"], last[0].astype(w_dtype))
-    out_b = _linear(params_b["linear2"], last[1].astype(w_dtype))
     new_st = jax.tree.map(lambda t: t.astype(out_dtype), new_st)
-    unstack = lambda i: jax.tree.map(lambda t: t[i], new_st)
-    return (out_a.astype(out_dtype), out_b.astype(out_dtype),
-            unstack(0), unstack(1))
+    outs = tuple(
+        _linear(p["linear2"], last[i].astype(w_dtype)).astype(out_dtype)
+        for i, p in enumerate(params_seq))
+    new_states = tuple(jax.tree.map(lambda t: t[i], new_st)
+                       for i in range(len(params_seq)))
+    return outs, new_states
+
+
+def rnn_pair_step(params_a, params_b, x, state_a, state_b, *,
+                  int8_compute: bool = False):
+    r"""Two-stack convenience wrapper over :func:`rnn_group_step` (the
+    rnn7/rnn8 head evaluation of the fused SigMP step). Returns
+    ``(out_a, out_b, state_a, state_b)``."""
+    outs, sts = rnn_group_step((params_a, params_b), x, (state_a, state_b),
+                               int8_compute=int8_compute)
+    return outs[0], outs[1], sts[0], sts[1]
 
 
 def rnn_scan(params, xs, state0=None, *, dropout: float = 0.0,

@@ -157,6 +157,35 @@ class TestPairStep:
         np.testing.assert_allclose(oa2, oa, atol=1e-5)
         np.testing.assert_allclose(ob2, ob, atol=1e-5)
 
+    def test_group_of_three_matches_steps(self):
+        # the steady-variant fused triple: rnn3 + speculative rnn7/rnn8
+        # all consume one input vector (sig_mp.py:145,169-170)
+        from robustcap_tpu.nn import rnn_group_step
+        keys = jax.random.split(jax.random.PRNGKey(7), 4)
+        ps = tuple(init_rnn_params(k, 14, out, 16, 2)
+                   for k, out in zip(keys[:3], (3, 9, 2)))
+        x = jax.random.normal(keys[3], (14,))
+        sts = tuple(init_state(p) for p in ps)
+        want = [rnn_step(p, x, s) for p, s in zip(ps, sts)]
+        outs, news = rnn_group_step(ps, x, sts)
+        for (wo, wn), go, gn in zip(want, outs, news):
+            np.testing.assert_allclose(go, wo, atol=1e-6)
+            for g, w in zip(jax.tree.leaves(gn), jax.tree.leaves(wn)):
+                np.testing.assert_allclose(g, w, atol=1e-6)
+
+    def test_group_mixed_geometry_falls_back(self):
+        from robustcap_tpu.nn import rnn_group_step
+        keys = jax.random.split(jax.random.PRNGKey(8), 4)
+        ps = (init_rnn_params(keys[0], 14, 3, 16, 2),
+              init_rnn_params(keys[1], 14, 9, 16, 2),
+              init_rnn_params(keys[2], 14, 2, 12, 2))  # odd one out
+        x = jax.random.normal(keys[3], (14,))
+        sts = tuple(init_state(p) for p in ps)
+        outs, _ = rnn_group_step(ps, x, sts)
+        for p, s, got in zip(ps, sts, outs):
+            want, _ = rnn_step(p, x, s)
+            np.testing.assert_allclose(got, want, atol=0)
+
     def test_batched_input(self):
         # the offline path vmaps the step over sequences: a leading batch
         # dim on x/state must flow through the pair fusion unchanged
