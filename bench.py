@@ -65,6 +65,32 @@ def _measure_reference_cpu_fps(j2dc, accc, oric, n_frames=40):
 def main():
     import threading
 
+    # Persistent compilation cache (opt-out BENCH_JAX_CACHE=0): a bench run
+    # compiles ~18 distinct programs at 20-40 s each, which on a degraded
+    # 1-vCPU host pushes the late sections (pallas chunk serving, the AOT
+    # bundle) past the soft deadline. Cache-warm reruns recover them. Gated
+    # OFF for cpu: the XLA:CPU executable serializer has segfaulted on this
+    # host (CLAUDE.md); the tunneled TPU backend round-trips cleanly
+    # (probed: write + read-hit).
+    if os.environ.get("BENCH_JAX_CACHE", "1") != "0":
+        try:
+            # set the cache config BEFORE the first compile, then drop it if
+            # the resolved backend is actually cpu (tunnel-down fallback —
+            # the pin is "axon,cpu")
+            jax.config.update(
+                "jax_compilation_cache_dir",
+                os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             ".jax_cache_tpu"))
+            jax.config.update(
+                "jax_persistent_cache_min_compile_time_secs", 2.0)
+            if jax.default_backend() == "cpu":
+                jax.config.update("jax_compilation_cache_dir", None)
+        except Exception:  # noqa: BLE001 - cache is best-effort
+            try:
+                jax.config.update("jax_compilation_cache_dir", None)
+            except Exception:  # noqa: BLE001
+                pass
+
     # Hard watchdog: the tunneled TPU backend can go fully down in this
     # environment (device ops then hang indefinitely, beyond any soft
     # deadline check). Guarantee the driver still gets ONE json line.
@@ -187,14 +213,26 @@ def main():
         int8c_fps = guarded("int8c", run_int8c)
 
     # -- on-device streaming step latency (B=1), RTT-free by differencing --
-    one_k = make_frames(1, K)
-    two_k = make_frames(1, 2 * K)
-    jax.block_until_ready(batched(params, one_k))
-    jax.block_until_ready(batched(params, two_k))
+    # Uses the TRUE single-stream scan (forward_offline, no vmap): it
+    # carries the serving-only step optimizations (fused spec-head triple,
+    # scalar-confidence cond tail) that the vmapped batched builder
+    # deliberately disables.
+    single = jax.jit(lambda p, f: sig_mp.forward_offline(
+        p, model, cfg, f["j2dc"], f["accc"], f["oric"],
+        first_frame=True, gravityc=f["gravityc"][0]))
+
+    def frames1(t):
+        f = make_frames(1, t)
+        return jax.tree.map(lambda x: x[0], f)
+
+    one_k = frames1(K)
+    two_k = frames1(2 * K)
+    jax.block_until_ready(single(params, one_k))
+    jax.block_until_ready(single(params, two_k))
 
     def timed(f):
         t0 = time.perf_counter()
-        jax.block_until_ready(batched(params, f))
+        jax.block_until_ready(single(params, f))
         return time.perf_counter() - t0
 
     per_step = []
@@ -333,13 +371,12 @@ def main():
 
         jx_fn, jp_fn = jax.jit(scan_xla), jax.jit(scan_pl)
         reps_p = 5
-        xs_k = [jnp.asarray(rng.randn(Kp, 72) * 0.3, jnp.float32)
-                for _ in range(reps_p)]
-        xs_2k = [jnp.asarray(rng.randn(2 * Kp, 72) * 0.3, jnp.float32)
-                 for _ in range(reps_p)]
-        parity = float(jnp.abs(jp_fn(xs_k[0]) - jx_fn(xs_k[0])).max())
 
-        def diff_ms_per_step(fn):
+        def diff_ms_per_step(fn, k):
+            xs_k = [jnp.asarray(rng.randn(k, 72) * 0.3, jnp.float32)
+                    for _ in range(reps_p)]
+            xs_2k = [jnp.asarray(rng.randn(2 * k, 72) * 0.3, jnp.float32)
+                     for _ in range(reps_p)]
             # warm both shapes
             jax.block_until_ready(fn(xs_k[0]))
             jax.block_until_ready(fn(xs_2k[0]))
@@ -350,11 +387,17 @@ def main():
                 t1 = time.perf_counter()
                 float(fn(xs_2k[i]).sum())
                 t2 = time.perf_counter()
-                out.append(((t2 - t1) - (t1 - t0)) / Kp * 1e3)
+                out.append(((t2 - t1) - (t1 - t0)) / k * 1e3)
             return float(np.percentile(out, 50))
 
-        xla_ms = diff_ms_per_step(jx_fn)
-        pl_ms = diff_ms_per_step(jp_fn)
+        parity = float(jnp.abs(
+            jp_fn(xs := jnp.asarray(rng.randn(Kp, 72) * 0.3, jnp.float32))
+            - jx_fn(xs)).max())
+        xla_ms = diff_ms_per_step(jx_fn, Kp)
+        # the kernel's per-step cost is 10-30x smaller than the XLA scan's
+        # (~1 µs), so its K-vs-2K signal needs 4x the steps to resolve above
+        # tunnel jitter — at Kp=1024 the median difference can land negative
+        pl_ms = diff_ms_per_step(jp_fn, 4 * Kp)
 
         # B=1 chunked serving end to end (chunks slice the T-frame data
         # pool, so the chunk length is capped at T//2 independently of the

@@ -206,7 +206,8 @@ def make_step(body_model: ParametricModel, cfg: SigMPConfig,
               include_first_frame_step: bool = True,
               output_contacts: bool = False,
               precomputed_inertial: bool = False,
-              fuse_spec_heads: bool = True):
+              fuse_spec_heads: bool = True,
+              cond_updater: bool = False):
     r"""Build the pure per-frame step closure over body-model constants.
 
     Returns ``step(params, carry, frame) -> (carry, (pose [24,3,3], tran [3]))``
@@ -236,6 +237,13 @@ def make_step(body_model: ParametricModel, cfg: SigMPConfig,
     wins ~9% at B=1 serving but loses a few % under MXU-wide vmapped
     batches to per-step state stacking, so the big-batch builders
     (``forward_offline_batched``, the eval runner) disable it.
+
+    ``cond_updater`` (steady variant + vision updater only) replaces the
+    branchless speculative-plus-final double tail with a scalar
+    ``lax.cond`` on the frame's confidence, evaluating the heads+tail
+    exactly ONCE per frame (see the inline comment). Single-stream paths
+    enable it; under vmap a cond lowers to a both-branches select, so the
+    big-batch builders leave it off.
     """
     parent_clamped = jnp.asarray(body_model.tree.parent_clamped)
     ancestor = jnp.asarray(body_model.tree.ancestor_matrix)
@@ -513,52 +521,122 @@ def make_step(body_model: ParametricModel, cfg: SigMPConfig,
         else:
             # ---- steady variant (post-prescan): single rnn4/rnn6 evals ----
             pc_first = carry["pc_first"]
-            if cfg.use_vision_updater:
-                # speculative occluded tail: when occluded, the fused joints
-                # are the inertial ones and pc rides pc_first, so the whole
-                # downstream (rnn7/rnn8, pose, translation, landmarks) is
-                # computable BEFORE rnn4/rnn6 — bit-identical to what the
-                # final tail recomputes in that case.
-                T_spec = heads_and_tail(params, carry, frame, st, c, Rcr,
-                                        accr, orir, vr,
-                                        j3dr_i.reshape(-1), pc_first, k_lerp,
-                                        heads_pre=spec_heads)
-                vu_cond = c <= conf_lo
-                if cfg.live:
-                    vu_cond = vu_cond & (
-                        T_spec["vision_count"] == cfg.update_vision_freq)
-                j2dc_syn = T_spec["j_lm"] / T_spec["j_lm"][:, 2:]
-                j3dc_syn = T_spec["joint"][1:] - T_spec["joint"][:1]
-                syn6_in = _cat(accc, oric, j2dc_syn, j3dc_syn)
-                syn4_in = _cat(accc, oric, _bbox_center_normalize(j2dc_syn))
+            if cfg.use_vision_updater and cond_updater:
+                # -- branching serving form: ONE tail per frame ------------
+                # The branchless form below pays the speculative tail AND
+                # the final tail every frame. But the two coincide exactly
+                # when the frame is occluded (gate -> j3dr_i, pc ->
+                # pc_first), and the speculative tail is only *needed* then
+                # (its synthetic landmarks feed the rnn4/rnn6 refeed, which
+                # fires only when occluded). So at B=1, where the tail's
+                # many small ops dominate step cost (docs/PERFORMANCE.md),
+                # branch on the scalar confidence with ``lax.cond`` — TPU
+                # executes a single branch — and evaluate heads+tail ONCE:
+                #   occluded: tail on the inertial joints (the speculative
+                #             values, bit-equal to what the branchless form
+                #             outputs), then the synthetic refeed of
+                #             rnn4/rnn6;
+                #   visible:  real rnn4/rnn6, then tail on the gated joints.
+                # Under vmap a cond lowers to a select that runs BOTH
+                # branches, so the big-batch builders keep the branchless
+                # form (cond_updater=False).
+                def _occluded(_):
+                    T = heads_and_tail(params, carry, frame, st, c, Rcr,
+                                       accr, orir, vr, j3dr_i.reshape(-1),
+                                       pc_first, k_lerp,
+                                       heads_pre=spec_heads)
+                    vu = jnp.asarray(True)
+                    if cfg.live:
+                        vu = T["vision_count"] == cfg.update_vision_freq
+                    j2dc_syn = T["j_lm"] / T["j_lm"][:, 2:]
+                    j3dc_syn = T["joint"][1:] - T["joint"][:1]
+                    _, st4_syn = rnn_step(
+                        params["rnn4"],
+                        _cat(accc, oric, _bbox_center_normalize(j2dc_syn)),
+                        st["rnn4"])
+                    _, st6_syn = rnn_step(
+                        params["rnn6"], _cat(accc, oric, j2dc_syn, j3dc_syn),
+                        st["rnn6"])
+                    return (T, _masked_state(vu, st4_syn, st["rnn4"]),
+                            _masked_state(vu, st6_syn, st["rnn6"]),
+                            j3dr_i.reshape(-1))
+
+                def _visible(_):
+                    out4_eval, st4_eval = rnn_step(
+                        params["rnn4"], _cat(accc, oric, j2dc_norm),
+                        st["rnn4"])
+                    out4_eff = jnp.where(first_frame, carry["out4_first"],
+                                         out4_eval)
+                    j3dr_v = (out4_eff.reshape(23, 3)[:, :, None]
+                              * Rcr[None]).sum(1)
+                    out6_eval, st6_eval = rnn_step(
+                        params["rnn6"], _cat(accc, oric, j2dc, out4_eff),
+                        st["rnn6"])
+                    j3dr = gate(c, j3dr_i, j3dr_v, k_lerp)
+                    T = heads_and_tail(params, carry, frame, st, c, Rcr,
+                                       accr, orir, vr, j3dr,
+                                       out6_eval.reshape(3), k_lerp)
+                    return (T, _masked_state(~first_frame, st4_eval,
+                                             st["rnn4"]),
+                            st6_eval, j3dr)
+
+                T, st4_final, st6_final, j3dr = jax.lax.cond(
+                    conf_vis, _visible, _occluded, None)
+                out4_first = carry["out4_first"]
             else:
-                vu_cond = jnp.asarray(False)
-                syn6_in = syn4_in = None
+                # ---- branchless form (vmap-friendly) ---------------------
+                if cfg.use_vision_updater:
+                    # speculative occluded tail: when occluded, the fused
+                    # joints are the inertial ones and pc rides pc_first, so
+                    # the whole downstream (rnn7/rnn8, pose, translation,
+                    # landmarks) is computable BEFORE rnn4/rnn6 —
+                    # bit-identical to what the final tail recomputes in
+                    # that case.
+                    T_spec = heads_and_tail(params, carry, frame, st, c,
+                                            Rcr, accr, orir, vr,
+                                            j3dr_i.reshape(-1), pc_first,
+                                            k_lerp, heads_pre=spec_heads)
+                    vu_cond = c <= conf_lo
+                    if cfg.live:
+                        vu_cond = vu_cond & (
+                            T_spec["vision_count"] == cfg.update_vision_freq)
+                    j2dc_syn = T_spec["j_lm"] / T_spec["j_lm"][:, 2:]
+                    j3dc_syn = T_spec["joint"][1:] - T_spec["joint"][:1]
+                    syn6_in = _cat(accc, oric, j2dc_syn, j3dc_syn)
+                    syn4_in = _cat(accc, oric,
+                                   _bbox_center_normalize(j2dc_syn))
+                else:
+                    vu_cond = jnp.asarray(False)
+                    syn6_in = syn4_in = None
 
-            # single rnn4 evaluation; real input unless refeeding. The
-            # first-frame real advance/output live in the prescan carry.
-            real4_in = _cat(accc, oric, j2dc_norm)
-            in4 = (real4_in if syn4_in is None
-                   else jnp.where(vu_cond, syn4_in, real4_in))
-            out4_eval, st4_eval = rnn_step(params["rnn4"], in4, st["rnn4"])
-            out4_eff = jnp.where(first_frame, carry["out4_first"], out4_eval)
-            st4_final = _masked_state((conf_vis & ~first_frame) | vu_cond,
-                                      st4_eval, st["rnn4"])
-            j3dr_v = (out4_eff.reshape(23, 3)[:, :, None] * Rcr[None]).sum(1)
+                # single rnn4 evaluation; real input unless refeeding. The
+                # first-frame real advance/output live in the prescan carry.
+                real4_in = _cat(accc, oric, j2dc_norm)
+                in4 = (real4_in if syn4_in is None
+                       else jnp.where(vu_cond, syn4_in, real4_in))
+                out4_eval, st4_eval = rnn_step(params["rnn4"], in4,
+                                               st["rnn4"])
+                out4_eff = jnp.where(first_frame, carry["out4_first"],
+                                     out4_eval)
+                st4_final = _masked_state((conf_vis & ~first_frame)
+                                          | vu_cond, st4_eval, st["rnn4"])
+                j3dr_v = (out4_eff.reshape(23, 3)[:, :, None]
+                          * Rcr[None]).sum(1)
 
-            # single rnn6 evaluation (first-frame extra step pre-scanned)
-            in6_real = _cat(accc, oric, j2dc, out4_eff)
-            in6 = (in6_real if syn6_in is None
-                   else jnp.where(vu_cond, syn6_in, in6_real))
-            out6_eval, st6_eval = rnn_step(params["rnn6"], in6, st["rnn6"])
-            st6_final = _masked_state(conf_vis | vu_cond, st6_eval,
-                                      st["rnn6"])
-            pc = jnp.where(conf_vis, out6_eval.reshape(3), pc_first)
+                # single rnn6 evaluation (first-frame extra step pre-scanned)
+                in6_real = _cat(accc, oric, j2dc, out4_eff)
+                in6 = (in6_real if syn6_in is None
+                       else jnp.where(vu_cond, syn6_in, in6_real))
+                out6_eval, st6_eval = rnn_step(params["rnn6"], in6,
+                                               st["rnn6"])
+                st6_final = _masked_state(conf_vis | vu_cond, st6_eval,
+                                          st["rnn6"])
+                pc = jnp.where(conf_vis, out6_eval.reshape(3), pc_first)
 
-            j3dr = gate(c, j3dr_i, j3dr_v, k_lerp)
-            T = heads_and_tail(params, carry, frame, st, c, Rcr, accr, orir,
-                               vr, j3dr, pc, k_lerp)
-            out4_first = carry["out4_first"]
+                j3dr = gate(c, j3dr_i, j3dr_v, k_lerp)
+                T = heads_and_tail(params, carry, frame, st, c, Rcr, accr,
+                                   orir, vr, j3dr, pc, k_lerp)
+                out4_first = carry["out4_first"]
 
         # -- one-shot inertial hidden-state re-init from vision
         # (sig_mp.py:178-183)
@@ -672,7 +750,7 @@ def forward_offline(params, body_model, cfg, j2dc, accc, oric,
     """
     params = prepare_scan_params(params, cfg.int8_compute)  # hoist dequant
     step = make_step(body_model, cfg, include_first_frame_step=False,
-                     output_contacts=return_contacts)
+                     output_contacts=return_contacts, cond_updater=True)
     frames = _sequence_frames(j2dc, accc, oric, first_tran, first_frame,
                               gravityc)
     frame0 = jax.tree.map(lambda x: x[0], frames)
@@ -717,7 +795,8 @@ class StreamingNet:
         # the steady single-eval step (each wide cell once per frame);
         # first-frame work is host-dispatched to the jitted prescan exactly
         # like forward_offline, so per-frame dispatches stay cheap
-        step = make_step(body_model, cfg, include_first_frame_step=False)
+        step = make_step(body_model, cfg, include_first_frame_step=False,
+                         cond_updater=True)
 
         @partial(jax.jit, donate_argnums=(1,))
         def _step(params, carry, frame):
@@ -775,7 +854,8 @@ class StreamingNet:
             # so the steady single-eval variant applies directly
             step = make_step(self.body_model, self.cfg,
                              include_first_frame_step=False,
-                             precomputed_inertial=use_pallas)
+                             precomputed_inertial=use_pallas,
+                             cond_updater=True)
 
             if use_pallas:
                 from ..ops.pallas_lstm import rnn_scan_pallas_chunked

@@ -61,7 +61,9 @@ def export_serving_bundle(params, body_model: ParametricModel,
     from jax import export as jexport
 
     os.makedirs(path, exist_ok=True)
-    step = sig_mp.make_step(body_model, cfg, include_first_frame_step=False)
+    # B=1 serving artifact: the scalar-confidence cond form (one tail/frame)
+    step = sig_mp.make_step(body_model, cfg, include_first_frame_step=False,
+                            cond_updater=True)
 
     def prescan(params, carry, frame):
         return sig_mp.prescan_first_frame(params, body_model, carry, frame,

@@ -363,3 +363,40 @@ class TestBatched:
                 params, model, cfg, j, a, o, first_tran=np.array([0, 0, 3.0]))
             np.testing.assert_allclose(pose_b[i], pose_1, atol=1e-5)
             np.testing.assert_allclose(tran_b[i], tran_1, atol=1e-5)
+
+
+class TestCondUpdater:
+    r"""The serving-only ``lax.cond`` single-tail form must agree with the
+    branchless speculative-plus-final form across confidence regimes and
+    live throttling (the two coincide mathematically; see make_step)."""
+
+    @pytest.mark.parametrize("live", [False, True])
+    def test_cond_matches_branchless(self, setup, live):
+        from functools import partial
+        model, params = setup
+        cfg = SigMPConfig.live_mode() if live else SigMPConfig()
+        conf = np.array([0.9, 0.2, 0.2, 0.75, 0.05, 0.05, 0.95, 0.5],
+                        np.float32)
+        j2dc, accc, oric = make_inputs(8, conf, seed=11)
+        frames = sig_mp._sequence_frames(jnp.asarray(j2dc),
+                                         jnp.asarray(accc),
+                                         jnp.asarray(oric), None, True, None)
+        frame0 = jax.tree.map(lambda x: x[0], frames)
+        sp = sig_mp.prepare_scan_params(params, cfg.int8_compute)
+        carry0 = sig_mp.prescan_first_frame(sp, model,
+                                            sig_mp.init_carry(sp), frame0)
+        outs = {}
+        for cond in (False, True):
+            step = sig_mp.make_step(model, cfg,
+                                    include_first_frame_step=False,
+                                    cond_updater=cond)
+            c, (po, tr) = jax.lax.scan(partial(step, sp), carry0, frames)
+            outs[cond] = (po, tr, c)
+        np.testing.assert_allclose(outs[True][0], outs[False][0], atol=2e-5)
+        np.testing.assert_allclose(outs[True][1], outs[False][1], atol=2e-5)
+        # carry states accumulate the (CI-bounded) group-vs-pair head
+        # stacking drift over the sequence; same tolerance as the oracle
+        for a, b in zip(jax.tree.leaves(outs[True][2]),
+                        jax.tree.leaves(outs[False][2])):
+            np.testing.assert_allclose(np.asarray(a, np.float64),
+                                       np.asarray(b, np.float64), atol=2e-4)
