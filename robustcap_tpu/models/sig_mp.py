@@ -545,21 +545,32 @@ def make_step(body_model: ParametricModel, cfg: SigMPConfig,
                                        accr, orir, vr, j3dr_i.reshape(-1),
                                        pc_first, k_lerp,
                                        heads_pre=spec_heads)
-                    vu = jnp.asarray(True)
+
+                    def _refeed(_):
+                        j2dc_syn = T["j_lm"] / T["j_lm"][:, 2:]
+                        j3dc_syn = T["joint"][1:] - T["joint"][:1]
+                        _, st4_syn = rnn_step(
+                            params["rnn4"],
+                            _cat(accc, oric,
+                                 _bbox_center_normalize(j2dc_syn)),
+                            st["rnn4"])
+                        _, st6_syn = rnn_step(
+                            params["rnn6"],
+                            _cat(accc, oric, j2dc_syn, j3dc_syn),
+                            st["rnn6"])
+                        return st4_syn, st6_syn
+
                     if cfg.live:
-                        vu = T["vision_count"] == cfg.update_vision_freq
-                    j2dc_syn = T["j_lm"] / T["j_lm"][:, 2:]
-                    j3dc_syn = T["joint"][1:] - T["joint"][:1]
-                    _, st4_syn = rnn_step(
-                        params["rnn4"],
-                        _cat(accc, oric, _bbox_center_normalize(j2dc_syn)),
-                        st["rnn4"])
-                    _, st6_syn = rnn_step(
-                        params["rnn6"], _cat(accc, oric, j2dc_syn, j3dc_syn),
-                        st["rnn6"])
-                    return (T, _masked_state(vu, st4_syn, st["rnn4"]),
-                            _masked_state(vu, st6_syn, st["rnn6"]),
-                            j3dr_i.reshape(-1))
+                        # live throttle: on frames where the mesh was not
+                        # just recomputed, the refeed states would be
+                        # discarded — skip the two widest stacks entirely
+                        st4_f, st6_f = jax.lax.cond(
+                            T["vision_count"] == cfg.update_vision_freq,
+                            _refeed, lambda _: (st["rnn4"], st["rnn6"]),
+                            None)
+                    else:
+                        st4_f, st6_f = _refeed(None)
+                    return T, st4_f, st6_f, j3dr_i.reshape(-1)
 
                 def _visible(_):
                     out4_eval, st4_eval = rnn_step(
