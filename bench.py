@@ -242,6 +242,27 @@ def main():
         per_step.append((t2 - t1) / K * 1e3)
     device_p50_ms = float(np.percentile(per_step, 50))
 
+    # same differencing with bfloat16 weights (exact-mode fast serving
+    # dtype — halves the bank's weight traffic; docs/PERFORMANCE.md)
+    def run_p50_bf16():
+        from robustcap_tpu.nn.rnn import cast_params
+        pb = cast_params(params, jnp.bfloat16)
+        jax.block_until_ready(single(pb, one_k))
+        jax.block_until_ready(single(pb, two_k))
+        out = []
+        for _ in range(5):
+            t0 = time.perf_counter()
+            jax.block_until_ready(single(pb, one_k))
+            t1 = time.perf_counter()
+            jax.block_until_ready(single(pb, two_k))
+            t2 = time.perf_counter()
+            out.append(((t2 - t1) - (t1 - t0)) / K * 1e3)
+        return float(np.percentile(out, 50))
+
+    device_p50_bf16_ms = None
+    if bench_dtype == "f32" and time.perf_counter() < deadline:
+        device_p50_bf16_ms = guarded("p50_bf16", run_p50_bf16)
+
     # wall-clock per-frame dispatch through the tunnel (context only; the
     # ~30-40 ms RTT of this environment's network-attached TPU dominates)
     def run_tunnel_latency():
@@ -529,6 +550,8 @@ def main():
             "baseline_fps": round(ref_fps, 2),
             "baseline_kind": baseline_kind,
             "device_step_method": "chained-scan differencing (RTT-free)",
+            "device_p50_bf16_ms": (None if device_p50_bf16_ms is None
+                                   else round(device_p50_bf16_ms, 4)),
             "tunnel_per_dispatch_p50_ms": (
                 None if tunnel_p50_ms is None else round(tunnel_p50_ms, 3)),
             "smplify_refine_fps": (None if smplify_fps is None
