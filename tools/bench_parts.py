@@ -88,6 +88,60 @@ def main():
     print(f"{'lstm_bank_only':20s} {dt / T * 1e3:8.4f} ms/step "
           f"({B * T / dt:12.0f} fps)")
 
+    # -- true single-stream serving path (SERVING=1): the unvmapped cond
+    # scan with the serving-only optimizations (fused spec-head triple,
+    # scalar-confidence cond tail; docs/PERFORMANCE.md), K-vs-2K chained
+    # differencing with DISTINCT inputs per rep (tunnel relay caches
+    # identical dispatches)
+    if os.environ.get("SERVING", "0") != "0":
+        from functools import partial
+        K = int(os.environ.get("K", 512))
+        occ = float(os.environ.get("OCC", 0.3))
+
+        def mk(t, seed):
+            r = np.random.RandomState(seed)
+            j = (r.randn(t, 33, 3) * 0.1).astype(np.float32)
+            conf = r.uniform(0.3, 1.0, (t, 1)).astype(np.float32)
+            conf[r.rand(t) < occ] = 0.05
+            j[..., 2] = conf
+            return (jnp.asarray(j),
+                    jnp.asarray(r.randn(t, 6, 3).astype(np.float32)),
+                    jnp.asarray(np.tile(np.eye(3, dtype=np.float32),
+                                        (t, 6, 1, 1))))
+
+        for name, scfg in (("serving", SigMPConfig(int8_compute=int8c)),
+                           ("serving_live",
+                            SigMPConfig.live_mode())):
+            sp = sig_mp.prepare_scan_params(params, scfg.int8_compute)
+            step = sig_mp.make_step(model, scfg,
+                                    include_first_frame_step=False,
+                                    cond_updater=True)
+
+            @jax.jit
+            def f(p, j2dc, accc, oric, step=step):
+                fr = sig_mp._sequence_frames(j2dc, accc, oric,
+                                             None, True, None)
+                f0 = jax.tree.map(lambda x: x[0], fr)
+                c0 = sig_mp.prescan_first_frame(p, model,
+                                                sig_mp.init_carry(p), f0)
+                _, (_, tr) = jax.lax.scan(partial(step, p), c0, fr)
+                return tr.sum()
+
+            d1 = [mk(K, 10 + i) for i in range(5)]
+            d2 = [mk(2 * K, 20 + i) for i in range(5)]
+            float(f(sp, *d1[0]))
+            float(f(sp, *d2[0]))
+            out = []
+            for i in range(5):
+                t0 = time.perf_counter()
+                float(f(sp, *d1[i]))
+                t1 = time.perf_counter()
+                float(f(sp, *d2[i]))
+                t2 = time.perf_counter()
+                out.append(((t2 - t1) - (t1 - t0)) / K * 1e3)
+            ms = float(np.percentile(out, 50))
+            print(f"{name:20s} {ms:8.4f} ms/step (B=1, occ={occ})")
+
 
 if __name__ == "__main__":
     main()
