@@ -65,35 +65,11 @@ def _measure_reference_cpu_fps(j2dc, accc, oric, n_frames=40):
 def main():
     import threading
 
-    # Persistent compilation cache (opt-out BENCH_JAX_CACHE=0): a bench run
-    # compiles ~18 distinct programs at 20-40 s each, which on a degraded
-    # 1-vCPU host pushes the late sections (pallas chunk serving, the AOT
-    # bundle) past the soft deadline. Cache-warm reruns recover them. Gated
-    # OFF for cpu: the XLA:CPU executable serializer has segfaulted on this
-    # host (CLAUDE.md); the tunneled TPU backend round-trips cleanly
-    # (probed: write + read-hit).
-    if os.environ.get("BENCH_JAX_CACHE", "1") != "0":
-        try:
-            # set the cache config BEFORE the first compile, then drop it if
-            # the resolved backend is actually cpu (tunnel-down fallback —
-            # the pin is "axon,cpu")
-            jax.config.update(
-                "jax_compilation_cache_dir",
-                os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                             ".jax_cache_tpu"))
-            jax.config.update(
-                "jax_persistent_cache_min_compile_time_secs", 2.0)
-            if jax.default_backend() == "cpu":
-                jax.config.update("jax_compilation_cache_dir", None)
-        except Exception:  # noqa: BLE001 - cache is best-effort
-            try:
-                jax.config.update("jax_compilation_cache_dir", None)
-            except Exception:  # noqa: BLE001
-                pass
-
-    # Hard watchdog: the tunneled TPU backend can go fully down in this
-    # environment (device ops then hang indefinitely, beyond any soft
-    # deadline check). Guarantee the driver still gets ONE json line.
+    # Hard watchdog FIRST: the tunneled TPU backend can go fully down in
+    # this environment — then in-process device ops (and even backend
+    # initialization) HANG rather than raise, beyond any soft deadline
+    # check. Arm before anything touches the backend so the driver still
+    # gets ONE json line no matter what.
     hard_s = float(os.environ.get("BENCH_HARD_DEADLINE_S", "560"))
 
     def _die():
@@ -108,6 +84,56 @@ def main():
     watchdog = threading.Timer(hard_s, _die)
     watchdog.daemon = True
     watchdog.start()
+
+    # The tunneled TPU flaps (observed: up a few minutes per hour). If the
+    # bench starts during an outage, wait a bounded while for the tunnel —
+    # probing with throwaway SUBPROCESSES under a hard timeout, never the
+    # in-process backend — turning a would-be zero-value round artifact
+    # into a measured one when the tunnel returns within the window.
+    wait_s = float(os.environ.get("BENCH_WAIT_TUNNEL_S", "240"))
+    t_wait0 = time.perf_counter()
+    while wait_s > 0:
+        import subprocess
+        try:
+            ok = subprocess.run(
+                [sys.executable, "-c",
+                 "import numpy as np, jax, jax.numpy as jnp\n"
+                 "x = jnp.asarray(np.random.randn(24, 24)"
+                 ".astype(np.float32))\n"
+                 "print(float((x @ x).sum()))"],
+                capture_output=True, timeout=75).returncode == 0
+        except Exception:  # noqa: BLE001 - includes TimeoutExpired
+            ok = False
+        if ok or time.perf_counter() - t_wait0 >= wait_s:
+            break  # up, or proceed anyway; the watchdog bounds the hang
+        time.sleep(30)
+
+    # Persistent compilation cache (opt-out BENCH_JAX_CACHE=0): a bench run
+    # compiles ~18 distinct programs at 20-40 s each, which on a degraded
+    # 1-vCPU host pushes the late sections (pallas chunk serving, the AOT
+    # bundle) past the soft deadline. Cache-warm reruns recover them. Gated
+    # OFF for cpu: the XLA:CPU executable serializer has segfaulted on this
+    # host (CLAUDE.md); the tunneled TPU backend round-trips cleanly
+    # (probed: write + read-hit).
+    if os.environ.get("BENCH_JAX_CACHE", "1") != "0":
+        try:
+            # set the cache config BEFORE the first compile, then drop it if
+            # the resolved backend is actually cpu (tunnel-down fallback —
+            # the pin is "axon,cpu"); default_backend() may hang during an
+            # outage, which the armed watchdog bounds
+            jax.config.update(
+                "jax_compilation_cache_dir",
+                os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             ".jax_cache_tpu"))
+            jax.config.update(
+                "jax_persistent_cache_min_compile_time_secs", 2.0)
+            if jax.default_backend() == "cpu":
+                jax.config.update("jax_compilation_cache_dir", None)
+        except Exception:  # noqa: BLE001 - cache is best-effort
+            try:
+                jax.config.update("jax_compilation_cache_dir", None)
+            except Exception:  # noqa: BLE001
+                pass
 
     # Every optional section runs under this guard: a failure in one
     # (e.g. a kernel the real chip rejects — the round-3 Pallas scoped-VMEM
