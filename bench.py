@@ -289,6 +289,49 @@ def main():
     if bench_dtype == "f32" and time.perf_counter() < deadline:
         device_p50_bf16_ms = guarded("p50_bf16", run_p50_bf16)
 
+    # -- fused geometry-tail Pallas kernel (ops/pallas_tail.py): the whole
+    # post-heads tail (r6d->R, IK, FK, translation/floor, 33-landmark LBS)
+    # as ONE kernel launch instead of dozens of tiny XLA ops. Same chained
+    # differencing; parity is measured on-device against the XLA tail.
+    def run_p50_tail():
+        import dataclasses
+        from robustcap_tpu.nn.rnn import cast_params
+        cfg_t = dataclasses.replace(cfg, pallas_tail=True)
+        single_t = jax.jit(lambda p, f: sig_mp.forward_offline(
+            p, model, cfg_t, f["j2dc"], f["accc"], f["oric"],
+            first_frame=True, gravityc=f["gravityc"][0]))
+
+        # on-device numerical parity (f32): fused tail vs the XLA tail
+        pa, ta = single(params, one_k)
+        pb, tb = single_t(params, one_k)
+        parity = float(jnp.maximum(jnp.abs(pa - pb).max(),
+                                   jnp.abs(ta - tb).max()))
+
+        def diff_p50(pp):
+            jax.block_until_ready(single_t(pp, one_k))
+            jax.block_until_ready(single_t(pp, two_k))
+            out = []
+            for _ in range(5):
+                t0 = time.perf_counter()
+                jax.block_until_ready(single_t(pp, one_k))
+                t1 = time.perf_counter()
+                jax.block_until_ready(single_t(pp, two_k))
+                t2 = time.perf_counter()
+                out.append(((t2 - t1) - (t1 - t0)) / K * 1e3)
+            return float(np.percentile(out, 50))
+
+        res = {"xla_vs_kernel_max_abs_diff": round(parity, 6),
+               "device_p50_tail_ms": round(diff_p50(params), 4)}
+        if time.perf_counter() < deadline:
+            res["device_p50_tail_bf16_ms"] = round(
+                diff_p50(cast_params(params, jnp.bfloat16)), 4)
+        return res
+
+    tail = None
+    if (bench_dtype == "f32" and os.environ.get("BENCH_TAIL", "1") != "0"
+            and time.perf_counter() < deadline):
+        tail = guarded("pallas_tail", run_p50_tail)
+
     # wall-clock per-frame dispatch through the tunnel (context only; the
     # ~30-40 ms RTT of this environment's network-attached TPU dominates)
     def run_tunnel_latency():
@@ -586,6 +629,7 @@ def main():
             "train_fps": ({k: round(v, 1) for k, v in train_fps.items()}
                           or None),
             "pallas": pallas,
+            "pallas_tail": tail,
             "serving_bundle": bundle,
             "serving_dtype": bench_dtype,
             "section_errors": section_errors or None,

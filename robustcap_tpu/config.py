@@ -199,6 +199,14 @@ class SigMPConfig:
     # per frame). Exact — same cells, same order; auto-disabled for chunks
     # where the one-shot IMU-updater state rewrite could still fire.
     pallas_inertial: bool = False
+    # fused geometry-tail Pallas kernel (ops/pallas_tail.py): the whole
+    # post-heads tail of the serving step — r6d->R, IK, light FK,
+    # translation/contact/floor logic, 33-landmark LBS — runs as ONE TPU
+    # kernel instead of dozens of tiny XLA ops. Wins at B=1 (single-stream
+    # serving) where per-op overhead dominates the tail; big-batch builders
+    # force it off (vmapped Pallas would serialize). Exact modulo matmul
+    # accumulation order; agreement-tested in tests/test_pallas_tail.py.
+    pallas_tail: bool = False
 
     @staticmethod
     def offline() -> "SigMPConfig":

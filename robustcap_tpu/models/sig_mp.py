@@ -145,6 +145,31 @@ def _cat(*xs):
     return jnp.concatenate([x.reshape(-1) for x in xs])
 
 
+def _reproj_refine(cfg, j2dc, c, tran, j_lm):
+    r"""Closed-form reprojection refinement (sig_mp.py:244-261, off by
+    default): weighted least-squares delta for x/y then z, applied to
+    (tran, j_lm). Shared by the XLA tail and the Pallas-tail wrapper (the
+    kernel returns pre-refinement values; this only post-edits them)."""
+    conf_lo = cfg.conf_range[0]
+    p_conf = j2dc[:, 2]
+    jx, jy, jz = j_lm[:, 0], j_lm[:, 1], j_lm[:, 2]
+    axy = jnp.sum(p_conf / jz ** 2) + cfg.smooth
+    bx = jnp.sum(p_conf * (-jx / jz ** 2 + j2dc[:, 0] / jz))
+    by = jnp.sum(p_conf * (-jy / jz ** 2 + j2dc[:, 1] / jz))
+    d_xy = jnp.stack([bx / axy, by / axy, jnp.zeros(())])
+    do_opt = c > conf_lo
+    tran = jnp.where(do_opt, tran + d_xy, tran)
+    j_lm = jnp.where(do_opt, j_lm + d_xy, j_lm)
+    jx, jy, jz = j_lm[:, 0], j_lm[:, 1], j_lm[:, 2]
+    az = jnp.sum(p_conf * (jx ** 2 + jy ** 2) / jz ** 4) + cfg.smooth
+    bz = jnp.sum(p_conf * ((jx / jz - j2dc[:, 0]) * jx / jz ** 2
+                           + (jy / jz - j2dc[:, 1]) * jy / jz ** 2))
+    d_z = jnp.stack([jnp.zeros(()), jnp.zeros(()), bz / az])
+    tran = jnp.where(do_opt, tran + d_z, tran)
+    j_lm = jnp.where(do_opt, j_lm + d_z, j_lm)
+    return tran, j_lm
+
+
 # ---------------------------------------------------------------------------
 # Carry
 # ---------------------------------------------------------------------------
@@ -260,6 +285,11 @@ def make_step(body_model: ParametricModel, cfg: SigMPConfig,
     # cfg.int8_compute routes every cell through the int8-MXU gate matmuls
     # (dynamic activation quantization; requires quantize_params weights)
     rnn_step = partial(_rnn_step, int8_compute=cfg.int8_compute)
+    if cfg.pallas_tail:
+        from ..ops.pallas_tail import geometry_tail, tail_constants
+        tail_consts = tail_constants(body_model)
+    else:
+        geometry_tail, tail_consts = None, None
 
     def light_fk(glb_pose):
         r"""Joint positions from *global* rotations via bone vectors
@@ -291,6 +321,20 @@ def make_step(body_model: ParametricModel, cfg: SigMPConfig,
                 st["rnn7"], st["rnn8"], int8_compute=cfg.int8_compute)
         else:
             out7, out8, st7_new, st8_new = heads_pre
+
+        if tail_consts is not None:
+            # -- fused-tail serving path: the whole post-heads tail in one
+            # Pallas kernel (ops/pallas_tail.py) — identical math, one
+            # launch instead of dozens of tiny ops. reproj refinement (off
+            # in every eval profile) only post-edits (tran, j_lm), so it
+            # stays in XLA on the kernel's outputs.
+            T = geometry_tail(tail_consts, cfg, out7, out8, carry, frame,
+                              c, Rcr, vr, pc, k_lerp)
+            if cfg.use_reproj_opt:
+                T["tran"], T["j_lm"] = _reproj_refine(cfg, j2dc, c,
+                                                      T["tran"], T["j_lm"])
+            return dict(T, st7_new=st7_new, st8_new=st8_new)
+
         contact = jax.nn.sigmoid(out8)
 
         # -- pose: r6d -> global R -> local pose, root := Rcr (sig_mp.py:173-175)
@@ -388,22 +432,7 @@ def make_step(body_model: ParametricModel, cfg: SigMPConfig,
         # -- closed-form reprojection refinement (sig_mp.py:244-261, off by
         # default): weighted least-squares delta for x/y then z.
         if cfg.use_reproj_opt:
-            p_conf = j2dc[:, 2]
-            jx, jy, jz = j_lm[:, 0], j_lm[:, 1], j_lm[:, 2]
-            axy = jnp.sum(p_conf / jz ** 2) + cfg.smooth
-            bx = jnp.sum(p_conf * (-jx / jz ** 2 + j2dc[:, 0] / jz))
-            by = jnp.sum(p_conf * (-jy / jz ** 2 + j2dc[:, 1] / jz))
-            d_xy = jnp.stack([bx / axy, by / axy, jnp.zeros(())])
-            do_opt = c > conf_lo
-            tran = jnp.where(do_opt, tran + d_xy, tran)
-            j_lm = jnp.where(do_opt, j_lm + d_xy, j_lm)
-            jx, jy, jz = j_lm[:, 0], j_lm[:, 1], j_lm[:, 2]
-            az = jnp.sum(p_conf * (jx ** 2 + jy ** 2) / jz ** 4) + cfg.smooth
-            bz = jnp.sum(p_conf * ((jx / jz - j2dc[:, 0]) * jx / jz ** 2
-                                   + (jy / jz - j2dc[:, 1]) * jy / jz ** 2))
-            d_z = jnp.stack([jnp.zeros(()), jnp.zeros(()), bz / az])
-            tran = jnp.where(do_opt, tran + d_z, tran)
-            j_lm = jnp.where(do_opt, j_lm + d_z, j_lm)
+            tran, j_lm = _reproj_refine(cfg, j2dc, c, tran, j_lm)
 
         return {"st7_new": st7_new, "st8_new": st8_new, "contact": contact,
                 "pose": pose, "tran": tran, "pfoot": pfoot,
@@ -779,7 +808,12 @@ def forward_offline_batched(params, body_model, cfg, frames_batched,
     sequence's end never flows back into valid frames."""
     params = prepare_scan_params(params, cfg.int8_compute)  # hoist dequant
     # big-batch path: the serial-chain-shortening head fusion loses to its
-    # per-step state-stacking traffic once the vmapped matmuls are MXU-wide
+    # per-step state-stacking traffic once the vmapped matmuls are MXU-wide;
+    # the fused tail kernel is likewise single-stream-only (vmapped Pallas
+    # serializes), so strip it here
+    if cfg.pallas_tail:
+        import dataclasses
+        cfg = dataclasses.replace(cfg, pallas_tail=False)
     step = make_step(body_model, cfg, include_first_frame_step=False,
                      fuse_spec_heads=False)
 
