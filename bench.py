@@ -332,6 +332,55 @@ def main():
             and time.perf_counter() < deadline):
         tail = guarded("pallas_tail", run_p50_tail)
 
+    # -- whole-step weight-resident serving kernel (ops/pallas_serve.py):
+    # the entire frame loop in ONE Pallas launch per chunk, bank weights
+    # VMEM-resident across frames (the B=1 scan is HBM-weight-bound —
+    # docs/PERFORMANCE.md). bf16 weights; parity measured on-device against
+    # the XLA bf16 scan on the same frames.
+    def run_serve():
+        from robustcap_tpu.nn.rnn import cast_params
+        from robustcap_tpu.ops.pallas_serve import (prepare_serve_params,
+                                                    serve_scan)
+        pb = cast_params(params, jnp.bfloat16)
+        prepped = prepare_serve_params(pb, dtype=jnp.bfloat16)
+        meta = {k: prepped[k] for k in ("H", "dtype", "stream")}
+        arrs = {k: prepped[k] for k in ("ops", "init")}
+
+        @jax.jit
+        def fwd(arrs_, p, f):
+            frames = sig_mp._sequence_frames(f["j2dc"], f["accc"],
+                                             f["oric"], None, True,
+                                             f["gravityc"][0])
+            frame0 = jax.tree.map(lambda x: x[0], frames)
+            carry = sig_mp.prescan_first_frame(p, model,
+                                               sig_mp.init_carry(p), frame0)
+            poses, trans, _, _ = serve_scan(dict(arrs_, **meta), model, cfg,
+                                            frames, carry)
+            return poses, trans
+
+        # on-device parity vs the XLA bf16 scan (same weights, same frames)
+        pa, ta = single(pb, one_k)
+        ps, ts = fwd(arrs, pb, one_k)
+        parity = float(jnp.maximum(jnp.abs(pa - ps).max(),
+                                   jnp.abs(ta - ts).max()))
+        jax.block_until_ready(fwd(arrs, pb, two_k))
+        out = []
+        for _ in range(5):
+            t0 = time.perf_counter()
+            jax.block_until_ready(fwd(arrs, pb, one_k))
+            t1 = time.perf_counter()
+            jax.block_until_ready(fwd(arrs, pb, two_k))
+            t2 = time.perf_counter()
+            out.append(((t2 - t1) - (t1 - t0)) / K * 1e3)
+        return {"device_p50_serve_bf16_ms": round(float(np.percentile(out, 50)), 4),
+                "stream": list(meta["stream"]),
+                "xla_vs_kernel_max_abs_diff": round(parity, 6)}
+
+    serve = None
+    if (bench_dtype == "f32" and os.environ.get("BENCH_SERVE", "1") != "0"
+            and time.perf_counter() < deadline):
+        serve = guarded("pallas_serve", run_serve)
+
     # wall-clock per-frame dispatch through the tunnel (context only; the
     # ~30-40 ms RTT of this environment's network-attached TPU dominates)
     def run_tunnel_latency():
@@ -630,6 +679,7 @@ def main():
                           or None),
             "pallas": pallas,
             "pallas_tail": tail,
+            "pallas_serve": serve,
             "serving_bundle": bundle,
             "serving_dtype": bench_dtype,
             "section_errors": section_errors or None,

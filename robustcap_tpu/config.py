@@ -207,6 +207,15 @@ class SigMPConfig:
     # force it off (vmapped Pallas would serialize). Exact modulo matmul
     # accumulation order; agreement-tested in tests/test_pallas_tail.py.
     pallas_tail: bool = False
+    # whole-step fused serving scan (ops/pallas_serve.py): the ENTIRE frame
+    # loop — all six LSTM stacks, gate, refeed, IMU updater, both tails —
+    # runs as ONE weight-resident Pallas kernel per chunk. Breaks the B=1
+    # HBM weight-bandwidth wall (the scan re-reads ~127 MB of weights per
+    # frame; resident weights are read once per chunk). Single-stream only:
+    # used by forward_offline and StreamingNet.forward_chunk; batch builders
+    # force it off. Semantics = the branchless steady step, agreement-tested
+    # in tests/test_pallas_serve.py.
+    pallas_serve: bool = False
 
     @staticmethod
     def offline() -> "SigMPConfig":

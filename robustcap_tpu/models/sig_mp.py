@@ -789,13 +789,24 @@ def forward_offline(params, body_model, cfg, j2dc, accc, oric,
     reference computes but never exposes, sig_mp.py:170).
     """
     params = prepare_scan_params(params, cfg.int8_compute)  # hoist dequant
-    step = make_step(body_model, cfg, include_first_frame_step=False,
-                     output_contacts=return_contacts, cond_updater=True)
     frames = _sequence_frames(j2dc, accc, oric, first_tran, first_frame,
                               gravityc)
     frame0 = jax.tree.map(lambda x: x[0], frames)
     carry = prescan_first_frame(params, body_model, init_carry(params),
                                 frame0, int8_compute=cfg.int8_compute)
+    if cfg.pallas_serve:
+        # whole-chunk weight-resident kernel (ops/pallas_serve.py); weight
+        # repacking happens in-trace here — amortized over the sequence
+        # (StreamingNet prepares once instead for repeated chunks)
+        from ..ops.pallas_serve import prepare_serve_params, serve_scan
+        wdtype = params["rnn2"]["layers"][0]["w_ih"].dtype
+        prepped = prepare_serve_params(params, dtype=wdtype)
+        poses, trans, contacts, _ = serve_scan(prepped, body_model, cfg,
+                                               frames, carry)
+        return (poses, trans, contacts) if return_contacts else (poses,
+                                                                 trans)
+    step = make_step(body_model, cfg, include_first_frame_step=False,
+                     output_contacts=return_contacts, cond_updater=True)
     _, out = jax.lax.scan(partial(step, params), carry, frames)
     return out
 
@@ -811,9 +822,9 @@ def forward_offline_batched(params, body_model, cfg, frames_batched,
     # per-step state-stacking traffic once the vmapped matmuls are MXU-wide;
     # the fused tail kernel is likewise single-stream-only (vmapped Pallas
     # serializes), so strip it here
-    if cfg.pallas_tail:
+    if cfg.pallas_tail or cfg.pallas_serve:
         import dataclasses
-        cfg = dataclasses.replace(cfg, pallas_tail=False)
+        cfg = dataclasses.replace(cfg, pallas_tail=False, pallas_serve=False)
     step = make_step(body_model, cfg, include_first_frame_step=False,
                      fuse_spec_heads=False)
 
@@ -884,6 +895,38 @@ class StreamingNet:
         K = int(np.asarray(j2dc).shape[0])
         if not hasattr(self, "_chunk_fns"):
             self._chunk_fns = {}
+
+        if self.cfg.pallas_serve:
+            # whole-chunk weight-resident kernel: prepare the repacked
+            # operand bank once per net, then every chunk is one launch
+            from ..ops.pallas_serve import prepare_serve_params, serve_scan
+            if not hasattr(self, "_serve_prepped"):
+                from ..nn.rnn import is_quantized
+                wdtype = (jnp.bfloat16 if is_quantized(self.params) else
+                          self.params["rnn2"]["layers"][0]["w_ih"].dtype)
+                self._serve_prepped = prepare_serve_params(self.params,
+                                                           dtype=wdtype)
+            key = (K, "serve")
+            if key not in self._chunk_fns:
+                cfg, model = self.cfg, self.body_model
+                # only the array pytree traces; H/dtype/stream are static
+                meta = {k: self._serve_prepped[k]
+                        for k in ("H", "dtype", "stream")}
+
+                @partial(jax.jit, donate_argnums=(1,))
+                def run(arrs, carry, frames):
+                    poses, trans, _, new_carry = serve_scan(
+                        dict(arrs, **meta), model, cfg, frames, carry)
+                    return new_carry, (poses, trans)
+
+                self._chunk_fns[key] = run
+            frames = _sequence_frames(j2dc, accc, oric, None, False,
+                                      gravityc)
+            frames["first_tran_valid"] = jnp.zeros(K, bool)
+            frames["first_frame"] = jnp.zeros(K, bool)
+            arrs = {k: self._serve_prepped[k] for k in ("ops", "init")}
+            self.carry, out = self._chunk_fns[key](arrs, self.carry, frames)
+            return out
 
         use_pallas = self.cfg.pallas_inertial
         if use_pallas and self.cfg.use_imu_updater:

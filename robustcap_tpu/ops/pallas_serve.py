@@ -1,0 +1,727 @@
+r"""Whole-step fused serving scan: the ENTIRE SigMP frame loop in one
+weight-resident Pallas TPU kernel.
+
+Why: at batch 1 the steady serving step is HBM-weight-bound — the six LSTM
+stacks' bf16 weights are ~127 MB and ``lax.scan`` re-reads every matrix from
+HBM each frame (127 MB / 819 GB/s ~= 155 us, vs the measured ~177 us bf16
+step; docs/PERFORMANCE.md). The per-frame dataflow is fully sequential
+(rnn2 -> rnn3/heads -> speculative tail -> rnn4 -> rnn6 -> final heads ->
+tail -> next frame's states), so no two-phase restructuring can break the
+chain; the only way past the weight-bandwidth wall is to keep the weights in
+VMEM across frames — i.e. run the whole scan inside ONE kernel. v5e VMEM is
+128 MiB: the four 512-wide stacks + rnn4 stay resident (~94 MB bf16) and
+rnn6's two gate matrices (~34 MB) are DMA-streamed from HBM per frame
+through a single buffer, cutting per-frame HBM weight traffic ~3.7x.
+
+This kernel implements the *branchless steady* step of
+``models/sig_mp.py::make_step`` (include_first_frame_step=False,
+cond_updater=False — the form whose per-frame semantics are
+agreement-tested against the reference's ``forward_online``,
+/root/reference/net/sig_mp.py:105-274):
+
+* rnn2 (inertial joints), rnn3 (root velocity) — inputs are pure frame
+  functions, precomputed in XLA per chunk;
+* speculative rnn7/rnn8 heads + full tail on the inertial joints
+  (``ops/pallas_tail.tail_math`` — the SAME tail implementation as the
+  standalone fused-tail kernel);
+* the occluded-frame synthetic-keypoint refeed of rnn4/rnn6 as input
+  selects, the confidence gate, the final heads + tail, the one-shot
+  IMU-updater hidden-state rewrite (RNNWithInit), and the live-mode
+  vision throttle.
+
+Layout strategy (Mosaic-safe; see the Pallas TPU guide):
+
+* every per-frame vector rides an 8-row sublane-replicated slot
+  (``ops/pallas_lstm.py`` pattern);
+* the 69/99-wide keypoint vectors use a **coordinate-major** lane order
+  (all x, all y, all z) so kernel-side [N, 3] <-> [1, 3N] conversions are
+  diag-mask matmuls and per-coordinate lane slices instead of cross-tile
+  reshapes; the corresponding weight ROWS/COLUMNS are permuted host-side
+  (``prepare_serve_params``) so every dot product still pairs the same
+  scalars as the XLA step;
+* all gathers/shifts (joint[1:] - joint[0], r6d unflatten) are constant
+  iota-mask matmuls.
+
+Gate math runs in f32 with weights in their storage dtype (bf16 on TPU),
+i.e. at least as precise as the XLA bf16 path (which also keeps f32 carry
+state between steps). Agreement vs the XLA branchless scan is tested
+frame-by-frame on CPU in interpret mode (tests/test_pallas_serve.py);
+bench.py measures the kernel on the real chip.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .pallas_tail import tail_constants, tail_math
+
+__all__ = ["prepare_serve_params", "serve_scan", "serve_vmem_plan"]
+
+
+# ---------------------------------------------------------------------------
+# Lane-order permutations (kernel c-major <-> XLA i-major)
+# ---------------------------------------------------------------------------
+
+
+def _perm_cmajor(n):
+    r"""perm[n*c + i] = 3*i + c: reorders an i-major flattened [n, 3] vector
+    (x0 y0 z0 x1 ...) into coordinate-major (x0..x{n-1} y0.. z0..)."""
+    return np.concatenate([3 * np.arange(n) + c for c in range(3)])
+
+
+_P69 = _perm_cmajor(23)
+_P99 = _perm_cmajor(33)
+
+
+# ---------------------------------------------------------------------------
+# Host-side weight preparation
+# ---------------------------------------------------------------------------
+
+
+def _stack_ops(p, dtype, in_splits, in_perms, out_perm=None):
+    r"""Kernel operands for one RNN stack: linear1 split into row segments
+    (with per-segment input-lane permutations), fused+transposed gate
+    matrices stacked [L, 2H, 4H], per-layer summed biases [L, 4H], and the
+    (optionally column-permuted) linear2."""
+    w1 = p["linear1"]["w"].T  # [in, H]
+    segs = []
+    off = 0
+    for size, perm in zip(in_splits, in_perms):
+        seg = w1[off:off + size]
+        if perm is not None:
+            seg = seg[perm]
+        segs.append(seg.astype(dtype))
+        off += size
+    b1 = p["linear1"]["b"][None].astype(jnp.float32)
+    wfs = jnp.stack([
+        jnp.concatenate([l["w_ih"], l["w_hh"]], axis=1).T.astype(dtype)
+        for l in p["layers"]])                                  # [L, 2H, 4H]
+    bfs = jnp.stack([(l["b_ih"] + l["b_hh"]).astype(jnp.float32)
+                     for l in p["layers"]])                     # [L, 4H]
+    w2 = p["linear2"]["w"].T
+    b2 = p["linear2"]["b"][None]
+    if out_perm is not None:
+        w2 = w2[:, out_perm]
+        b2 = b2[:, out_perm]
+    return {"w1segs": segs, "b1": b1, "wfs": wfs, "bfs": bfs,
+            "w2": w2.astype(dtype), "b2": b2.astype(jnp.float32)}
+
+
+def serve_vmem_plan(params, dtype=jnp.bfloat16):
+    r"""(stream set, resident bytes) — which stacks' gate matrices to DMA
+    from HBM per frame so the rest fit VMEM. v5e has 128 MiB; leave ~20 MiB
+    of headroom for frames, activations, outputs and the DMA buffer."""
+    isize = jnp.dtype(dtype).itemsize
+
+    def gate_bytes(name):
+        return sum(l["w_ih"].size + l["w_hh"].size
+                   for l in params[name]["layers"]) * isize
+
+    total = sum(int(l.size) * isize for l in jax.tree.leaves(params)
+                if hasattr(l, "size"))
+    budget = 100 * 2 ** 20
+    for stream in [(), ("rnn6",), ("rnn4",), ("rnn4", "rnn6")]:
+        buf = max([gate_bytes(s) // len(params[s]["layers"])
+                   for s in stream] or [0])
+        resident = total - sum(gate_bytes(s) for s in stream)
+        if resident + buf <= budget:
+            return stream, resident
+    return ("rnn4", "rnn6"), resident
+
+
+def prepare_serve_params(params, dtype=jnp.bfloat16, stream=None):
+    r"""Repack the six-stack parameter bank into kernel operands.
+
+    ``stream``: stack names whose fused gate matrices stay in HBM and are
+    DMA'd per frame (None = auto from :func:`serve_vmem_plan`). Returns a
+    dict consumed by :func:`serve_scan`; build it ONCE per weight set (it
+    reshuffles ~the full bank) and reuse across chunks."""
+    from ..nn.rnn import dequantize_params, is_quantized
+
+    if is_quantized(params):
+        params = dequantize_params(params)
+    if stream is None:
+        stream, _ = serve_vmem_plan(params, dtype)
+    ops = {
+        "rnn2": _stack_ops(params["rnn2"], dtype, [72], [None],
+                           out_perm=_P69),
+        "rnn3": _stack_ops(params["rnn3"], dtype, [72, 69], [None, _P69]),
+        "rnn4": _stack_ops(params["rnn4"], dtype, [72, 99], [None, _P99],
+                           out_perm=_P69),
+        "rnn6": _stack_ops(params["rnn6"], dtype, [72, 99, 69],
+                           [None, _P99, _P69]),
+        "rnn7": _stack_ops(params["rnn7"], dtype, [72, 69], [None, _P69]),
+        "rnn8": _stack_ops(params["rnn8"], dtype, [72, 69], [None, _P69]),
+    }
+    init = params["rnn2"].get("init_net")
+    init_ops = None
+    if init is not None:
+        wi0 = init[0]["w"].T[_P69].astype(dtype)        # consumes c-major j3dr
+        init_ops = [wi0, init[0]["b"][None].astype(jnp.float32),
+                    init[1]["w"].T.astype(dtype),
+                    init[1]["b"][None].astype(jnp.float32),
+                    init[2]["w"].T.astype(dtype),
+                    init[2]["b"][None].astype(jnp.float32)]
+    H = {n: int(params[n]["layers"][0]["w_hh"].shape[1])
+         for n in ("rnn2", "rnn3", "rnn4", "rnn6", "rnn7", "rnn8")}
+    if not (H["rnn2"] == H["rnn3"] == H["rnn7"] == H["rnn8"]):
+        raise ValueError("serve kernel packs rnn2/3/7/8 state jointly; "
+                         "their hidden sizes must match")
+    return {"ops": ops, "init": init_ops, "H": H, "dtype": jnp.dtype(dtype),
+            "stream": tuple(stream)}
+
+
+# ---------------------------------------------------------------------------
+# Kernel-side layout helpers (Mosaic-safe)
+# ---------------------------------------------------------------------------
+
+
+def _flat_cmajor(rows, n):
+    r"""[n, 3] row-vectors -> [1, 3n] coordinate-major lanes, via diag-mask
+    reductions (no cross-tile reshape)."""
+    f32 = jnp.float32
+    diag = (jax.lax.broadcasted_iota(f32, (n, n), 0)
+            == jax.lax.broadcasted_iota(f32, (n, n), 1)).astype(f32)
+    ones = jnp.ones((1, n), f32)
+    cols = [jnp.dot(ones, rows[:, c:c + 1] * diag,
+                    preferred_element_type=f32) for c in range(3)]
+    return jnp.concatenate(cols, axis=1)
+
+
+def _unflatten_r6d(x144):
+    r"""[1, 144] i-major head output -> [24, 6] r6d rows."""
+    f32 = jnp.float32
+    X = jnp.broadcast_to(x144, (24, 144))
+    D = (jax.lax.broadcasted_iota(f32, (24, 144), 1) // 6.0
+         == jax.lax.broadcasted_iota(f32, (24, 144), 0)).astype(f32)
+    C = (jax.lax.broadcasted_iota(f32, (144, 6), 0) % 6.0
+         == jax.lax.broadcasted_iota(f32, (144, 6), 1)).astype(f32)
+    return jnp.dot(X * D, C, preferred_element_type=f32)
+
+
+def _rot69_cmajor(x, rcr):
+    r"""Rotate 23 stacked vectors by Rcr in c-major lane layout:
+    y[23c+i] = sum_k Rcr[k, c] x[23k+i] (mirrors sig_mp.py j3dr_v)."""
+    cols = []
+    for c in range(3):
+        cols.append(sum(rcr[:, 3 * k + c:3 * k + c + 1] * x[:, 23 * k:23 * (k + 1)]
+                        for k in range(3)))
+    return jnp.concatenate(cols, axis=1)
+
+
+def _bbox_norm99(j99):
+    r"""models/sig_mp.py::_bbox_center_normalize on a c-major [1, 99]."""
+    f32 = jnp.float32
+    x, y = j99[:, 0:33], j99[:, 33:66]
+    du = jnp.max(x, axis=1, keepdims=True) - jnp.min(x, axis=1, keepdims=True)
+    dv = jnp.max(y, axis=1, keepdims=True) - jnp.min(y, axis=1, keepdims=True)
+    scale = jnp.maximum(jnp.maximum(du, dv), 1e-6)
+    xs, ys = x / scale, y / scale
+    e23 = (jax.lax.broadcasted_iota(f32, (1, 33), 1) == 23.0)
+    cx = jnp.sum(jnp.where(e23, xs, 0.0), axis=1, keepdims=True)
+    cy = jnp.sum(jnp.where(e23, ys, 0.0), axis=1, keepdims=True)
+    xo = jnp.where(e23, xs, xs - cx)
+    yo = jnp.where(e23, ys, ys - cy)
+    return jnp.concatenate([xo, yo, j99[:, 66:99]], axis=1)
+
+
+def _shift_minus_root(joint):
+    r"""joint[1:] - joint[0] as constant matmuls -> [23, 3]."""
+    f32 = jnp.float32
+    S = (jax.lax.broadcasted_iota(f32, (23, 24), 1)
+         == jax.lax.broadcasted_iota(f32, (23, 24), 0) + 1.0).astype(f32)
+    R0 = (jax.lax.broadcasted_iota(f32, (23, 24), 1) == 0.0).astype(f32)
+    return (jnp.dot(S, joint, preferred_element_type=f32)
+            - jnp.dot(R0, joint, preferred_element_type=f32))
+
+
+# ---------------------------------------------------------------------------
+# The kernel
+# ---------------------------------------------------------------------------
+
+
+_TAIL_CONST_KEYS = ("gpar", "anc", "bone", "mask_nroot", "row0", "feet",
+                    "wsub", "v0sub", "j0", "ssync", "msync", "fmean")
+
+
+def _make_kernel(T, H, dtype, stream, flags, blendshape, use_imu_updater,
+                 live, update_vision_freq, conf_lo, conf_hi):
+    f32 = jnp.float32
+    H2, H4, H6 = H["rnn2"], H["rnn4"], H["rnn6"]
+    slot512 = {"rnn2": 0, "rnn3": 1, "rnn7": 2, "rnn8": 3}
+
+    def kernel(*refs):
+        it = iter(refs)
+
+        def take(n):
+            return [next(it) for _ in range(n)]
+
+        stacks = {}
+        for name, nseg in (("rnn2", 1), ("rnn3", 2), ("rnn4", 2),
+                           ("rnn6", 3), ("rnn7", 2), ("rnn8", 2)):
+            segs = take(nseg)
+            b1, wfs, bfs, w2, b2 = take(5)
+            stacks[name] = dict(w1segs=segs, b1=b1, wfs=wfs, bfs=bfs,
+                                w2=w2, b2=b2)
+        init_refs = take(6) if use_imu_updater else []
+        (in2_r, raw72_r, j2n_r, j2r_r, rcr_r, fmisc_r) = take(6)
+        (cmisc_r, fbuf_r, jtemp_r, lpfoot_r, o4f_r) = take(5)
+        (h512_r, c512_r, h4_r, c4_r, h6_r, c6_r) = take(6)
+        tc_refs = take(len(_TAIL_CONST_KEYS))
+        pd_ref = take(1)[0] if blendshape else None
+        # outputs
+        (pose_o, aux_o, h512_o, c512_o, h4_o, c4_o, h6_o, c6_o,
+         cmisc_o, fbuf_o, jtemp_o, lpfoot_o) = take(12)
+        # scratch
+        h512_s, c512_s, h4_s, c4_s, h6_s, c6_s = take(6)
+        cmisc_s, fbuf_s, jtemp_s, lpfoot_s = take(4)
+        if stream:
+            dma_buf, dma_sem = take(2)
+
+        consts = {k: r[:] for k, r in zip(_TAIL_CONST_KEYS, tc_refs)}
+        consts["pd"] = pd_ref  # stays a ref (static leading-index loads)
+
+        h512_s[:] = h512_r[:]
+        c512_s[:] = c512_r[:]
+        h4_s[:] = h4_r[:]
+        c4_s[:] = c4_r[:]
+        h6_s[:] = h6_r[:]
+        c6_s[:] = c6_r[:]
+        cmisc_s[:] = cmisc_r[:]
+        fbuf_s[:] = fbuf_r[:]
+        jtemp_s[:] = jtemp_r[:]
+        lpfoot_s[:] = lpfoot_r[:]
+
+        def state_scr(name):
+            if name == "rnn4":
+                return h4_s, c4_s, 0
+            if name == "rnn6":
+                return h6_s, c6_s, 0
+            return h512_s, c512_s, slot512[name] * 16
+
+        def cells(name, y, commit, Hn):
+            r"""Run the 2 LSTM layers of ``name`` on [8, Hn] input ``y``;
+            write states back under ``commit`` ([1,1] mask or None=always).
+            Returns the top hidden. Streamed stacks DMA each fused gate
+            matrix into the shared buffer first."""
+            st = stacks[name]
+            h_s, c_s_, off = state_scr(name)
+            streamed = name in stream
+            out = y
+            for l in range(2):
+                if streamed:
+                    dma = pltpu.make_async_copy(
+                        st["wfs"].at[l], dma_buf.at[0:2 * Hn, 0:4 * Hn],
+                        dma_sem)
+                    dma.start()
+                    dma.wait()
+                    wf = dma_buf[0:2 * Hn, 0:4 * Hn]
+                else:
+                    wf = st["wfs"][l]
+                h = h_s[pl.ds(off + l * 8, 8), :]
+                c_ = c_s_[pl.ds(off + l * 8, 8), :]
+                xh = jnp.concatenate([out.astype(dtype), h.astype(dtype)],
+                                     axis=1)
+                z = jnp.dot(xh, wf, preferred_element_type=f32) \
+                    + st["bfs"][l:l + 1, :]
+                i = jax.nn.sigmoid(z[:, :Hn])
+                f = jax.nn.sigmoid(z[:, Hn:2 * Hn])
+                g = jnp.tanh(z[:, 2 * Hn:3 * Hn])
+                o = jax.nn.sigmoid(z[:, 3 * Hn:])
+                c_new = f * c_ + i * g
+                h_new = o * jnp.tanh(c_new)
+                if commit is not None:
+                    h_new_w = jnp.where(commit, h_new, h)
+                    c_new_w = jnp.where(commit, c_new, c_)
+                else:
+                    h_new_w, c_new_w = h_new, c_new
+                h_s[pl.ds(off + l * 8, 8), :] = h_new_w
+                c_s_[pl.ds(off + l * 8, 8), :] = c_new_w
+                out = h_new
+            return out
+
+        def head_out(name, top):
+            st = stacks[name]
+            return jnp.dot(top.astype(dtype), st["w2"][:],
+                           preferred_element_type=f32) + st["b2"][:]
+
+        def lin1(name, xs):
+            r"""relu(sum_i x_i @ w1seg_i + b1) over the input segments."""
+            st = stacks[name]
+            z = st["b1"][:]
+            for x, w in zip(xs, st["w1segs"]):
+                z = z + jnp.dot(x.astype(dtype), w[:],
+                                preferred_element_type=f32)
+            return jnp.maximum(z, 0.0)
+
+        tail = partial(tail_math, consts=consts, **flags)
+
+        def body(t, _):
+            fm = fmisc_r[pl.ds(t * 8, 8), :][0:1, :]            # [1, 16]
+            c = fm[:, 0:1]
+            k_lerp = fm[:, 1:2]
+            ff = fm[:, 2:3]                                     # first_frame
+            ftv = fm[:, 3:4]                                    # first_tran_valid
+            ftran = fm[:, 8:11]
+            grav = fm[:, 11:14]
+            in2 = in2_r[pl.ds(t * 8, 8), :]                     # [8, 72]
+            raw72 = raw72_r[pl.ds(t * 8, 8), :]
+            j2n99 = j2n_r[pl.ds(t * 8, 8), :]                   # [8, 99]
+            j2r99 = j2r_r[pl.ds(t * 8, 8), :]
+            rcr = rcr_r[pl.ds(t * 8, 8), :][0:1, :]             # [1, 9]
+
+            cm = cmisc_s[0:1, :]                                # [1, 16]
+            has_pfoot, has_tran = cm[:, 0:1], cm[:, 1:2]
+            floor_cnt = cm[:, 2:3]
+            first_reach = cm[:, 3:4]
+            vision_count = cm[:, 4:5]
+            pc_first = cm[:, 5:8]
+            last_tran = cm[:, 8:11]
+
+            conf_vis = c > conf_lo
+
+            # -- rnn2: inertial joints (j3dr_i), c-major output ------------
+            y2 = lin1("rnn2", [in2])
+            top2 = cells("rnn2", y2, None, H2)
+            out2 = head_out("rnn2", top2)                       # [8, 69]
+
+            # -- rnn3 + SPECULATIVE heads (occluded branch: j3dr = out2) ---
+            y3 = lin1("rnn3", [in2, out2])
+            top3 = cells("rnn3", y3, None, H2)
+            vr = head_out("rnn3", top3)[0:1, :]                 # [1, 3]
+            y7s = lin1("rnn7", [in2, out2])
+            y8s = lin1("rnn8", [in2, out2])
+            # spec head cells read the scratch state WITHOUT committing
+            top7s = cells("rnn7", y7s, jnp.zeros((1, 1), f32) > 0.5, H2)
+            top8s = cells("rnn8", y8s, jnp.zeros((1, 1), f32) > 0.5, H2)
+            out7s = head_out("rnn7", top7s)[0:1, :]             # [1, 144]
+            out8s = head_out("rnn8", top8s)[0:1, :]             # [1, 2]
+
+            def run_tail(out7_144, out8_12, pc):
+                svec = jnp.concatenate(
+                    [c, k_lerp, has_pfoot, has_tran, floor_cnt, ff, ftv,
+                     vision_count], axis=1)
+                inp = {"svec": svec, "out7": _unflatten_r6d(out7_144),
+                       "out8": out8_12, "rcr": rcr, "vr": vr, "pc": pc,
+                       "last_tran": last_tran, "first_tran": ftran,
+                       "grav": grav, "last_pfoot": lpfoot_s[:],
+                       "floor_buf": fbuf_s[:], "j_temp": jtemp_s[:]}
+                return tail(inp)
+
+            T_spec = run_tail(out7s, out8s, pc_first)
+
+            vu = c <= conf_lo
+            if live:
+                vu = vu & (T_spec["vision_count"]
+                           == float(update_vision_freq))
+
+            # -- synthetic keypoints from the speculative tail -------------
+            j2syn_rows = T_spec["j_lm"] / T_spec["j_lm"][:, 2:3]
+            j2syn99 = _flat_cmajor(j2syn_rows, 33)              # [1, 99]
+            j2syn_n99 = _bbox_norm99(j2syn99)
+            j3syn69 = _flat_cmajor(_shift_minus_root(T_spec["joint"]), 23)
+
+            # -- rnn4 (single eval, input select; sig_mp.py steady form) ---
+            sel99 = jnp.where(vu, jnp.broadcast_to(j2syn_n99, (8, 99)),
+                              j2n99)
+            y4 = lin1("rnn4", [raw72, sel99])
+            m4 = (conf_vis & (ff < 0.5)) | vu
+            top4 = cells("rnn4", y4, m4, H4)
+            out4 = head_out("rnn4", top4)[0:1, :]               # [1, 69]
+            out4_eff = jnp.where(ff > 0.5, o4f_r[0:1, :], out4)
+            j3dr_v = _rot69_cmajor(out4_eff, rcr)
+            j3dr = jnp.where(
+                c >= conf_hi, j3dr_v,
+                jnp.where(c > conf_lo,
+                          out2[0:1, :] + (j3dr_v - out2[0:1, :]) * k_lerp,
+                          out2[0:1, :]))
+
+            # -- rnn6 (single eval, input select) --------------------------
+            sel99r = jnp.where(vu, jnp.broadcast_to(j2syn99, (8, 99)), j2r99)
+            sel69 = jnp.where(vu, jnp.broadcast_to(j3syn69, (8, 69)),
+                              jnp.broadcast_to(out4_eff, (8, 69)))
+            y6 = lin1("rnn6", [raw72, sel99r, sel69])
+            m6 = conf_vis | vu
+            top6 = cells("rnn6", y6, m6, H6)
+            out6 = head_out("rnn6", top6)[0:1, :]               # [1, 3]
+            pc = jnp.where(conf_vis, out6, pc_first)
+
+            # -- FINAL heads on the gated joints + final tail --------------
+            j3dr8 = jnp.broadcast_to(j3dr, (8, 69))
+            y7 = lin1("rnn7", [in2, j3dr8])
+            y8 = lin1("rnn8", [in2, j3dr8])
+            top7 = cells("rnn7", y7, None, H2)
+            top8 = cells("rnn8", y8, None, H2)
+            out7f = head_out("rnn7", top7)[0:1, :]
+            out8f = head_out("rnn8", top8)[0:1, :]
+            Tf = run_tail(out7f, out8f, pc)
+
+            # -- one-shot IMU-updater state rewrite (sig_mp.py:178-183) ----
+            new_first_reach = first_reach
+            if use_imu_updater:
+                iu = (c >= conf_hi) & (first_reach > 0.5)
+                wi0, bi0, wi1, bi1, wi2, bi2 = [r[:] for r in init_refs]
+                x = jnp.maximum(jnp.dot(j3dr.astype(dtype), wi0,
+                                        preferred_element_type=f32) + bi0,
+                                0.0)
+                x = jnp.maximum(jnp.dot(x.astype(dtype), wi1,
+                                        preferred_element_type=f32) + bi1,
+                                0.0)
+                x = jnp.dot(x.astype(dtype), wi2,
+                            preferred_element_type=f32) + bi2   # [1, 4*H2]
+                for l in range(2):
+                    h_i = jnp.broadcast_to(x[:, l * H2:(l + 1) * H2],
+                                           (8, H2))
+                    c_i = jnp.broadcast_to(x[:, (2 + l) * H2:(3 + l) * H2],
+                                           (8, H2))
+                    row = pl.ds(l * 8, 8)
+                    h512_s[row, :] = jnp.where(iu, h_i, h512_s[row, :])
+                    c512_s[row, :] = jnp.where(iu, c_i, c512_s[row, :])
+                new_first_reach = jnp.where(c >= conf_hi,
+                                            jnp.zeros_like(first_reach),
+                                            first_reach)
+
+            # -- carry + per-frame outputs ---------------------------------
+            cm_new = jnp.concatenate(
+                [jnp.ones((1, 2), f32),                 # has_pfoot, has_tran
+                 Tf["floor_cnt"], new_first_reach, Tf["vision_count"],
+                 pc_first, Tf["tran"], jnp.zeros((1, 5), f32)], axis=1)
+            cmisc_s[:] = jnp.broadcast_to(cm_new, (8, 16))
+            fbuf_s[:] = Tf["floor_buf"]
+            jtemp_s[:] = Tf["j_temp"]
+            lpfoot_s[:] = Tf["pfoot"]
+
+            pose_o[pl.ds(t * 24, 24), :] = Tf["pose"]
+            aux = jnp.concatenate(
+                [Tf["tran"], Tf["contact"], jnp.zeros((1, 11), f32)], axis=1)
+            aux_o[pl.ds(t * 8, 8), :] = jnp.broadcast_to(aux, (8, 16))
+            return 0
+
+        jax.lax.fori_loop(0, T, body, 0)
+        h512_o[:] = h512_s[:]
+        c512_o[:] = c512_s[:]
+        h4_o[:] = h4_s[:]
+        c4_o[:] = c4_s[:]
+        h6_o[:] = h6_s[:]
+        c6_o[:] = c6_s[:]
+        cmisc_o[:] = cmisc_s[:]
+        fbuf_o[:] = fbuf_s[:]
+        jtemp_o[:] = jtemp_s[:]
+        lpfoot_o[:] = lpfoot_s[:]
+
+    return kernel
+
+
+# ---------------------------------------------------------------------------
+# Host wrapper
+# ---------------------------------------------------------------------------
+
+
+def _rep8(x):
+    return jnp.repeat(jnp.asarray(x, jnp.float32), 8, axis=0)
+
+
+def serve_scan(prepped, body_model, cfg, frames, carry, interpret=None):
+    r"""Run a whole frame chunk through the fused serving kernel.
+
+    ``prepped`` from :func:`prepare_serve_params`; ``frames`` as from
+    ``sig_mp._sequence_frames`` (time-major [T, ...]); ``carry`` the steady
+    carry AFTER ``prescan_first_frame``. Returns (pose [T, 24, 3, 3],
+    tran [T, 3], contact [T, 2], new_carry). Semantics = the XLA branchless
+    steady step (make_step cond_updater=False), frame for frame.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    if cfg.use_reproj_opt or cfg.int8_compute or not cfg.use_vision_updater:
+        raise ValueError("pallas_serve supports the standard serving "
+                         "configuration (vision updater on, no reproj/int8)")
+    f32 = jnp.float32
+    ops, H, dtype = prepped["ops"], prepped["H"], prepped["dtype"]
+    stream = prepped["stream"]
+    use_imu_updater = bool(cfg.use_imu_updater) and prepped["init"] is not None
+    consts = tail_constants(body_model)
+    blendshape = consts["blendshape"]
+
+    T = frames["j2dc"].shape[0]
+    j2dc = frames["j2dc"].astype(f32)                           # [T, 33, 3]
+    accc = frames["accc"].astype(f32)
+    oric = frames["oric"].astype(f32)                           # [T, 6, 3, 3]
+    Rcr = oric[:, -1]
+    accr = jnp.einsum("tik,tkj->tij", accc, Rcr)
+    orir = jnp.einsum("tkm,tnkj->tnmj", Rcr, oric)              # Rcr^T @ R_n
+    in2 = jnp.concatenate([accr.reshape(T, 18), orir.reshape(T, 54)], -1)
+    raw72 = jnp.concatenate([accc.reshape(T, 18), oric.reshape(T, 54)], -1)
+    from ..models.sig_mp import _bbox_center_normalize
+    j2n = jax.vmap(_bbox_center_normalize)(j2dc)
+    j2n99 = j2n.transpose(0, 2, 1).reshape(T, 99)               # c-major
+    j2r99 = j2dc.transpose(0, 2, 1).reshape(T, 99)
+    rcr9 = Rcr.reshape(T, 9)
+    c = j2dc[:, :, 2].mean(-1)
+    conf_lo, conf_hi = float(cfg.conf_range[0]), float(cfg.conf_range[1])
+    k_lerp = jnp.clip((c - conf_lo) / (conf_hi - conf_lo), 0.0, 1.0)
+    fmisc = jnp.concatenate([
+        c[:, None], k_lerp[:, None],
+        frames["first_frame"].astype(f32)[:, None],
+        frames["first_tran_valid"].astype(f32)[:, None],
+        jnp.zeros((T, 4), f32),
+        frames["first_tran"].astype(f32),
+        frames["gravityc"].astype(f32),
+        jnp.zeros((T, 2), f32)], axis=1)                        # [T, 16]
+
+    st = carry["states"]
+    h512 = jnp.concatenate([_rep8(st[n][0]) for n in
+                            ("rnn2", "rnn3", "rnn7", "rnn8")])  # [64, H2]
+    c512 = jnp.concatenate([_rep8(st[n][1]) for n in
+                            ("rnn2", "rnn3", "rnn7", "rnn8")])
+    h4, c4 = _rep8(st["rnn4"][0]), _rep8(st["rnn4"][1])
+    h6, c6 = _rep8(st["rnn6"][0]), _rep8(st["rnn6"][1])
+    cmisc0 = jnp.concatenate([
+        carry["has_pfoot"].astype(f32).reshape(1, 1),
+        carry["has_tran"].astype(f32).reshape(1, 1),
+        carry["floor_cnt"].astype(f32).reshape(1, 1),
+        carry["first_reach"].astype(f32).reshape(1, 1),
+        carry["vision_count"].astype(f32).reshape(1, 1),
+        carry["pc_first"].astype(f32).reshape(1, 3),
+        carry["last_tran"].astype(f32).reshape(1, 3),
+        jnp.zeros((1, 5), f32)], axis=1)
+    cmisc = jnp.broadcast_to(cmisc0, (8, 16))
+    o4f = jnp.broadcast_to(
+        carry["out4_first"].astype(f32)[_P69][None], (8, 69))
+
+    flags = dict(conf_hi=conf_hi,
+                 contact_threshold=float(cfg.contact_threshold),
+                 distance_threshold=float(cfg.distance_threshold),
+                 tran_filter_num=float(cfg.tran_filter_num),
+                 height_threshold=float(cfg.height_threshold),
+                 use_flat_floor=bool(cfg.use_flat_floor),
+                 live=bool(cfg.live),
+                 update_vision_freq=int(cfg.update_vision_freq),
+                 landmarks=True, blendshape=blendshape)
+
+    operands = []
+    in_specs = []
+    n_stack_ops = 0
+    for name in ("rnn2", "rnn3", "rnn4", "rnn6", "rnn7", "rnn8"):
+        o = ops[name]
+        group = list(o["w1segs"]) + [o["b1"], o["wfs"], o["bfs"], o["w2"],
+                                     o["b2"]]
+        for arr in group:
+            operands.append(arr)
+            if arr is o["wfs"] and name in stream:
+                in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
+            else:
+                in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
+        n_stack_ops += len(group)
+    if use_imu_updater:
+        operands += prepped["init"]
+        in_specs += [pl.BlockSpec(memory_space=pltpu.VMEM)] * 6
+    frame_ops = [_rep8(in2.reshape(T, 72)).reshape(8 * T, 72),
+                 _rep8(raw72).reshape(8 * T, 72),
+                 _rep8(j2n99).reshape(8 * T, 99),
+                 _rep8(j2r99).reshape(8 * T, 99),
+                 _rep8(rcr9).reshape(8 * T, 9),
+                 _rep8(fmisc).reshape(8 * T, 16)]
+    operands += frame_ops
+    in_specs += [pl.BlockSpec(memory_space=pltpu.VMEM)] * 6
+    carry_ops = [cmisc, carry["floor_buf"].astype(f32),
+                 carry["j_temp"].astype(f32),
+                 carry["last_pfoot"].astype(f32), o4f,
+                 h512, c512, h4, c4, h6, c6]
+    operands += carry_ops
+    in_specs += [pl.BlockSpec(memory_space=pltpu.VMEM)] * len(carry_ops)
+    tail_ops = [jnp.asarray(consts[k], f32) for k in _TAIL_CONST_KEYS]
+    operands += tail_ops
+    in_specs += [pl.BlockSpec(memory_space=pltpu.VMEM)] * len(tail_ops)
+    if blendshape:
+        operands.append(jnp.asarray(consts["pd"], f32))
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
+
+    H2, H4, H6 = H["rnn2"], H["rnn4"], H["rnn6"]
+    out_shape = (
+        jax.ShapeDtypeStruct((24 * T, 9), f32),   # pose
+        jax.ShapeDtypeStruct((8 * T, 16), f32),   # aux: tran, contact
+        jax.ShapeDtypeStruct((64, H2), f32), jax.ShapeDtypeStruct((64, H2), f32),
+        jax.ShapeDtypeStruct((16, H4), f32), jax.ShapeDtypeStruct((16, H4), f32),
+        jax.ShapeDtypeStruct((16, H6), f32), jax.ShapeDtypeStruct((16, H6), f32),
+        jax.ShapeDtypeStruct((8, 16), f32),       # cmisc
+        jax.ShapeDtypeStruct((11, 3), f32),       # floor_buf
+        jax.ShapeDtypeStruct((33, 3), f32),       # j_temp
+        jax.ShapeDtypeStruct((2, 3), f32),        # last_pfoot
+    )
+    scratch = [
+        pltpu.VMEM((64, H2), f32), pltpu.VMEM((64, H2), f32),
+        pltpu.VMEM((16, H4), f32), pltpu.VMEM((16, H4), f32),
+        pltpu.VMEM((16, H6), f32), pltpu.VMEM((16, H6), f32),
+        pltpu.VMEM((8, 16), f32), pltpu.VMEM((11, 3), f32),
+        pltpu.VMEM((33, 3), f32), pltpu.VMEM((2, 3), f32),
+    ]
+    if stream:
+        Hbuf = max(H[n] for n in stream)
+        scratch += [pltpu.VMEM((2 * Hbuf, 4 * Hbuf), dtype),
+                    pltpu.SemaphoreType.DMA]
+
+    kern = _make_kernel(T, H, dtype, frozenset(stream), flags, blendshape,
+                        use_imu_updater, bool(cfg.live),
+                        int(cfg.update_vision_freq), conf_lo, conf_hi)
+
+    vmem_bytes = sum(
+        int(np.prod(x.shape)) * x.dtype.itemsize for x in operands
+        if not isinstance(x, pl.BlockSpec))
+    # streamed gate matrices live in HBM; subtract them, add the buffer
+    for name in stream:
+        vmem_bytes -= int(np.prod(ops[name]["wfs"].shape)) \
+            * jnp.dtype(dtype).itemsize
+    if stream:
+        Hbuf = max(H[n] for n in stream)
+        vmem_bytes += 2 * Hbuf * 4 * Hbuf * jnp.dtype(dtype).itemsize
+    vmem_bytes += sum(int(np.prod(s.shape)) * 4 for s in out_shape)
+    vmem_limit = max(32 * 2 ** 20, int(vmem_bytes * 1.2))
+
+    outs = pl.pallas_call(
+        kern,
+        out_shape=out_shape,
+        in_specs=in_specs,
+        out_specs=tuple(pl.BlockSpec(memory_space=pltpu.VMEM)
+                        for _ in out_shape),
+        scratch_shapes=scratch,
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=vmem_limit),
+        interpret=interpret,
+    )(*operands)
+    (pose, aux, h512_n, c512_n, h4_n, c4_n, h6_n, c6_n, cmisc_n, fbuf_n,
+     jtemp_n, lpf_n) = outs
+
+    dt = carry["last_tran"].dtype
+    poses = pose.reshape(T, 24, 3, 3).astype(dt)
+    trans = aux[::8, 0:3].astype(dt)
+    contacts = aux[::8, 3:5].astype(dt)
+
+    def unstack512(x, s):
+        return x[s * 16:(s + 1) * 16][::8]
+
+    new_states = {
+        "rnn2": (unstack512(h512_n, 0), unstack512(c512_n, 0)),
+        "rnn3": (unstack512(h512_n, 1), unstack512(c512_n, 1)),
+        "rnn7": (unstack512(h512_n, 2), unstack512(c512_n, 2)),
+        "rnn8": (unstack512(h512_n, 3), unstack512(c512_n, 3)),
+        "rnn4": (h4_n[::8], c4_n[::8]),
+        "rnn6": (h6_n[::8], c6_n[::8]),
+    }
+    cm = cmisc_n[0]
+    new_carry = dict(carry)
+    new_carry["states"] = new_states
+    new_carry["has_pfoot"] = cm[0] > 0.5
+    new_carry["has_tran"] = cm[1] > 0.5
+    new_carry["floor_cnt"] = cm[2].astype(carry["floor_cnt"].dtype)
+    new_carry["first_reach"] = cm[3] > 0.5
+    new_carry["vision_count"] = cm[4].astype(carry["vision_count"].dtype)
+    new_carry["last_tran"] = cm[8:11].astype(dt)
+    new_carry["floor_buf"] = fbuf_n.astype(carry["floor_buf"].dtype)
+    new_carry["j_temp"] = jtemp_n.astype(carry["j_temp"].dtype)
+    new_carry["last_pfoot"] = lpf_n.astype(dt)
+    return poses, trans, contacts, new_carry

@@ -44,7 +44,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..config import MP_VERTEX_MASK, VEL_SCALE
 
-__all__ = ["tail_constants", "geometry_tail"]
+__all__ = ["tail_constants", "geometry_tail", "tail_math"]
 
 _EPS = 1e-8  # math/angular.py::_EPS — the guarded Gram-Schmidt epsilon
 
@@ -113,27 +113,24 @@ def _unit(v):
 
 
 # ---------------------------------------------------------------------------
-# The kernel
+# The tail math (pure, shared with ops/pallas_serve.py) and the kernel
 # ---------------------------------------------------------------------------
 
 
-def _kernel(svec_ref, out7_ref, out8_ref, rcr_ref, vr_ref, pc_ref,
-            last_tran_ref, first_tran_ref, grav_ref, last_pfoot_ref,
-            floor_buf_ref, j_temp_ref, gpar_ref, anc_ref, bone_ref,
-            mask_nroot_ref, row0_ref, feet_ref, wsub_ref, v0sub_ref,
-            j0_ref, ssync_ref, msync_ref, fmean_ref, *rest, conf_hi,
-            contact_threshold, distance_threshold, tran_filter_num,
-            height_threshold, use_flat_floor, live, update_vision_freq,
-            landmarks, blendshape):
-    if blendshape:
-        pd_ref = rest[0]
-        outs = rest[1:]
-    else:
-        outs = rest
-    (pose_o, tran_o, contact_o, pfoot_o, fbuf_o, joint_o, jlm_o, jtemp_o,
-     sout_o) = outs
+def tail_math(inp, consts, *, conf_hi, contact_threshold, distance_threshold,
+              tran_filter_num, height_threshold, use_flat_floor, live,
+              update_vision_freq, landmarks, blendshape):
+    r"""The whole post-heads tail on plain arrays (Mosaic-safe ops only).
 
-    svec = svec_ref[:]
+    ``inp``: svec [1, 8] (c, k_lerp, has_pfoot, has_tran, floor_cnt,
+    first_frame, first_tran_valid, vision_count), out7 [24, 6], out8 [1, 2],
+    rcr [1, 9], vr/pc/last_tran/first_tran/grav [1, 3], last_pfoot [2, 3],
+    floor_buf [11, 3], j_temp [33, 3]. ``consts`` as from
+    :func:`tail_constants` (``pd`` reshaped [27, 33, 24] when blendshape).
+    Returns the tail's outputs as a dict of arrays; callable both from this
+    module's standalone kernel and inside the fused serving-scan kernel
+    (ops/pallas_serve.py), so the two paths share one implementation."""
+    svec = inp["svec"]
     c_s = svec[:, 0:1]
     k_lerp = svec[:, 1:2]
     has_pfoot = svec[:, 2:3]
@@ -143,15 +140,15 @@ def _kernel(svec_ref, out7_ref, out8_ref, rcr_ref, vr_ref, pc_ref,
     first_tran_valid = svec[:, 6:7]
     vision_count = svec[:, 7:8]
 
-    rcr = rcr_ref[:]                                            # [1, 9]
-    mask_nroot = mask_nroot_ref[:]                              # [24, 1]
+    rcr = inp["rcr"]                                            # [1, 9]
+    mask_nroot = consts["mask_nroot"]                           # [24, 1]
 
     # -- contact head (sig_mp.py:170)
-    contact = jax.nn.sigmoid(out8_ref[:])                       # [1, 2]
+    contact = jax.nn.sigmoid(inp["out8"])                       # [1, 2]
     cmax = jnp.max(contact, axis=1, keepdims=True)              # [1, 1]
 
     # -- r6d -> global rotations (Gram-Schmidt, angular.py:249); flat [24, 9]
-    r6d = out7_ref[:]                                           # [24, 6]
+    r6d = inp["out7"]                                           # [24, 6]
     col0 = _unit(r6d[:, 0:3])
     b3 = r6d[:, 3:6]
     proj = jnp.sum(col0 * b3, axis=1, keepdims=True)
@@ -164,23 +161,23 @@ def _kernel(svec_ref, out7_ref, out8_ref, rcr_ref, vr_ref, pc_ref,
          _col(col0, 2), _col(col1, 2), _col(col2, 2)], axis=1)  # [24, 9]
 
     # -- IK: local[i] = glb[parent[i]]^T glb[i]; root := Rcr (sig_mp.py:173-175)
-    parentR = jnp.dot(gpar_ref[:], poseg,
+    parentR = jnp.dot(consts["gpar"], poseg,
                       preferred_element_type=jnp.float32)       # [24, 9]
     local = _m3Tmul(parentR, poseg)
     pose = jnp.where(mask_nroot > 0.5, local, rcr)              # root row <- Rcr
 
     # -- light FK: pb[i] = glb[parent[i]] @ bone[i], prefix-sum via ancestors
-    pb = _m3vec(parentR, bone_ref[:]) * mask_nroot              # [24, 3]
-    p_all = jnp.dot(anc_ref[:], pb, preferred_element_type=jnp.float32)
+    pb = _m3vec(parentR, consts["bone"]) * mask_nroot              # [24, 3]
+    p_all = jnp.dot(consts["anc"], pb, preferred_element_type=jnp.float32)
 
     # -- feet in camera frame: pfoot = Rcr @ p_all[10:12] (sig_mp.py:186)
-    feet = jnp.dot(feet_ref[:], p_all,
+    feet = jnp.dot(consts["feet"], p_all,
                    preferred_element_type=jnp.float32)          # [2, 3]
     pfoot = _m3vec(rcr, feet)                                   # [2, 3]
 
     # -- translation from contacts / network velocity (sig_mp.py:186-194)
-    v_net = _m3vec(rcr, vr_ref[:]) * (VEL_SCALE / 60.0)         # [1, 3]
-    d_foot = last_pfoot_ref[:] - pfoot                          # [2, 3]
+    v_net = _m3vec(rcr, inp["vr"]) * (VEL_SCALE / 60.0)         # [1, 3]
+    d_foot = inp["last_pfoot"] - pfoot                          # [2, 3]
     io2 = jax.lax.broadcasted_iota(jnp.float32, (2, 1), 0)
     d0 = jnp.sum(d_foot * (io2 == 0.0).astype(jnp.float32), axis=0,
                  keepdims=True)
@@ -190,10 +187,10 @@ def _kernel(svec_ref, out7_ref, out8_ref, rcr_ref, vr_ref, pc_ref,
     v_contact = jnp.where(_col(contact, 0) >= _col(contact, 1), d0, d1)
     use_net = (cmax < contact_threshold) | (has_pfoot < 0.5)
     v = jnp.where(use_net, v_net, v_contact)
-    tran = jnp.where(has_tran > 0.5, last_tran_ref[:] + v, v)   # [1, 3]
+    tran = jnp.where(has_tran > 0.5, inp["last_tran"] + v, v)   # [1, 3]
 
     # -- visual absolute-position fusion (sig_mp.py:196-203)
-    pc = pc_ref[:]
+    pc = inp["pc"]
     snap_far = _vnorm(pc - tran) > distance_threshold
     if tran_filter_num > 1:
         tran_vis = pc
@@ -203,9 +200,9 @@ def _kernel(svec_ref, out7_ref, out8_ref, rcr_ref, vr_ref, pc_ref,
     tran = jnp.where(c_s >= conf_hi, tran_vis, tran)
 
     # -- flat-floor ring constraint (sig_mp.py:205-221)
-    fbuf = floor_buf_ref[:]                                     # [11, 3]
+    fbuf = inp["floor_buf"]                                     # [11, 3]
     if use_flat_floor:
-        grav = grav_ref[:]                                      # [1, 3]
+        grav = inp["grav"]                                      # [1, 3]
         pf0 = jnp.sum(pfoot * (io2 == 0.0).astype(jnp.float32), axis=0,
                       keepdims=True)
         pf1 = jnp.sum(pfoot * (io2 == 1.0).astype(jnp.float32), axis=0,
@@ -223,7 +220,7 @@ def _kernel(svec_ref, out7_ref, out8_ref, rcr_ref, vr_ref, pc_ref,
         floor_cnt = floor_cnt + append.astype(jnp.float32)
 
         snap = (floor_cnt > 10.0) & (cmax > contact_threshold)
-        m = jnp.dot(fmean_ref[:], fbuf,
+        m = jnp.dot(consts["fmean"], fbuf,
                     preferred_element_type=jnp.float32)         # [1, 3]
         use_p1 = (n0 < n1) & (_vnorm(m - p1) < height_threshold)
         delta = jnp.where(
@@ -233,22 +230,22 @@ def _kernel(svec_ref, out7_ref, out8_ref, rcr_ref, vr_ref, pc_ref,
         tran = jnp.where(snap, tran + delta, tran)
 
     # -- first-frame overrides (sig_mp.py:222-225)
-    tran = jnp.where(first_tran_valid > 0.5, first_tran_ref[:],
+    tran = jnp.where(first_tran_valid > 0.5, inp["first_tran"],
                      jnp.where(first_frame > 0.5, pc, tran))
 
     # -- landmark resynthesis: closed-form FK + 33-vertex LBS
     # (sig_mp.py:228-242; see heads_and_tail for the Rfix derivation)
-    j_temp = j_temp_ref[:]
+    j_temp = inp["j_temp"]
     if landmarks:
-        poseg0 = jnp.dot(row0_ref[:], poseg,
+        poseg0 = jnp.dot(consts["row0"], poseg,
                          preferred_element_type=jnp.float32)    # [1, 9]
         rfix = _m3mulT(rcr, poseg0)                             # Rcr @ poseg0^T
         glb = _m3mul(rfix, poseg)                               # [24, 9]
         joint = _m3vec(rfix, p_all) + tran                      # [24, 3]
-        t_j = joint - _m3vec(glb, j0_ref[:])                    # [24, 3]
-        r_v = jnp.dot(wsub_ref[:], glb,
+        t_j = joint - _m3vec(glb, consts["j0"])                    # [24, 3]
+        r_v = jnp.dot(consts["wsub"], glb,
                       preferred_element_type=jnp.float32)       # [33, 9]
-        v0_eff = v0sub_ref[:]                                   # [33, 3]
+        v0_eff = consts["v0sub"]                                   # [33, 3]
         if blendshape:
             # v0 + posedirs . (pose[1:] - I): 27 constant [33, 24] matmuls
             # against the local-pose columns (root masked out) — the flat
@@ -260,16 +257,16 @@ def _kernel(svec_ref, out7_ref, out8_ref, rcr_ref, vr_ref, pc_ref,
                 acc = None
                 for k in range(9):
                     rcol = (_col(pose, k) - eye9[k]) * mask_nroot
-                    term = jnp.dot(pd_ref[cdim * 9 + k], rcol,
+                    term = jnp.dot(consts["pd"][cdim * 9 + k], rcol,
                                    preferred_element_type=jnp.float32)
                     acc = term if acc is None else acc + term
                 deltas.append(acc)
             v0_eff = v0_eff + jnp.concatenate(deltas, axis=1)
         verts = _m3vec(r_v, v0_eff) + jnp.dot(
-            wsub_ref[:], t_j, preferred_element_type=jnp.float32)
+            consts["wsub"], t_j, preferred_element_type=jnp.float32)
         # sync_mp3d: constant-gather overwrite of limb/hip/knee/ankle rows
-        msync = msync_ref[:]                                    # [33, 1]
-        j_from_joint = jnp.dot(ssync_ref[:], joint,
+        msync = consts["msync"]                                    # [33, 1]
+        j_from_joint = jnp.dot(consts["ssync"], joint,
                                preferred_element_type=jnp.float32)
         j_computed = jnp.where(msync > 0.5, j_from_joint, verts)
         if live:
@@ -284,16 +281,52 @@ def _kernel(svec_ref, out7_ref, out8_ref, rcr_ref, vr_ref, pc_ref,
         joint = jnp.zeros((24, 3), jnp.float32)
         j_lm = jnp.zeros((33, 3), jnp.float32)
 
-    pose_o[:] = pose
-    tran_o[:] = tran
-    contact_o[:] = contact
-    pfoot_o[:] = pfoot
-    fbuf_o[:] = fbuf
-    joint_o[:] = joint
-    jlm_o[:] = j_lm
-    jtemp_o[:] = j_temp
+    return {"pose": pose, "tran": tran, "contact": contact, "pfoot": pfoot,
+            "floor_buf": fbuf, "joint": joint, "j_lm": j_lm, "j_temp": j_temp,
+            "floor_cnt": floor_cnt, "vision_count": vision_count}
+
+
+def _kernel(svec_ref, out7_ref, out8_ref, rcr_ref, vr_ref, pc_ref,
+            last_tran_ref, first_tran_ref, grav_ref, last_pfoot_ref,
+            floor_buf_ref, j_temp_ref, gpar_ref, anc_ref, bone_ref,
+            mask_nroot_ref, row0_ref, feet_ref, wsub_ref, v0sub_ref,
+            j0_ref, ssync_ref, msync_ref, fmean_ref, *rest, blendshape,
+            **flags):
+    r"""Standalone-kernel wrapper: refs in -> :func:`tail_math` -> refs out."""
+    if blendshape:
+        pd_ref = rest[0]
+        outs = rest[1:]
+    else:
+        pd_ref = None
+        outs = rest
+    (pose_o, tran_o, contact_o, pfoot_o, fbuf_o, joint_o, jlm_o, jtemp_o,
+     sout_o) = outs
+    inp = {"svec": svec_ref[:], "out7": out7_ref[:], "out8": out8_ref[:],
+           "rcr": rcr_ref[:], "vr": vr_ref[:], "pc": pc_ref[:],
+           "last_tran": last_tran_ref[:], "first_tran": first_tran_ref[:],
+           "grav": grav_ref[:], "last_pfoot": last_pfoot_ref[:],
+           "floor_buf": floor_buf_ref[:], "j_temp": j_temp_ref[:]}
+    consts = {"gpar": gpar_ref[:], "anc": anc_ref[:], "bone": bone_ref[:],
+              "mask_nroot": mask_nroot_ref[:], "row0": row0_ref[:],
+              "feet": feet_ref[:], "wsub": wsub_ref[:],
+              "v0sub": v0sub_ref[:], "j0": j0_ref[:], "ssync": ssync_ref[:],
+              "msync": msync_ref[:], "fmean": fmean_ref[:],
+              # pd stays a REF: tail_math loads [33, 24] slices
+              # at static leading indices (a 3-D value slice
+              # would be a cross-tile reshape)
+              "pd": pd_ref}
+    T = tail_math(inp, consts, blendshape=blendshape, **flags)
+    pose_o[:] = T["pose"]
+    tran_o[:] = T["tran"]
+    contact_o[:] = T["contact"]
+    pfoot_o[:] = T["pfoot"]
+    fbuf_o[:] = T["floor_buf"]
+    joint_o[:] = T["joint"]
+    jlm_o[:] = T["j_lm"]
+    jtemp_o[:] = T["j_temp"]
     sout_o[:] = jnp.concatenate(
-        [floor_cnt, vision_count, jnp.zeros((1, 2), jnp.float32)], axis=1)
+        [T["floor_cnt"], T["vision_count"], jnp.zeros((1, 2), jnp.float32)],
+        axis=1)
 
 
 # ---------------------------------------------------------------------------

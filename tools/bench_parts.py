@@ -109,9 +109,15 @@ def main():
                     jnp.asarray(np.tile(np.eye(3, dtype=np.float32),
                                         (t, 6, 1, 1))))
 
-        for name, scfg in (("serving", SigMPConfig(int8_compute=int8c)),
-                           ("serving_live",
-                            SigMPConfig.live_mode())):
+        import dataclasses
+        for name, scfg in (
+                ("serving", SigMPConfig(int8_compute=int8c)),
+                ("serving_ptail",
+                 SigMPConfig(int8_compute=int8c, pallas_tail=True)),
+                ("serving_live", SigMPConfig.live_mode()),
+                ("serving_live_ptail",
+                 dataclasses.replace(SigMPConfig.live_mode(),
+                                     pallas_tail=True))):
             sp = sig_mp.prepare_scan_params(params, scfg.int8_compute)
             step = sig_mp.make_step(model, scfg,
                                     include_first_frame_step=False,
