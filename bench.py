@@ -363,18 +363,57 @@ def main():
         ps, ts = fwd(arrs, pb, one_k)
         parity = float(jnp.maximum(jnp.abs(pa - ps).max(),
                                    jnp.abs(ta - ts).max()))
-        jax.block_until_ready(fwd(arrs, pb, two_k))
-        out = []
-        for _ in range(5):
-            t0 = time.perf_counter()
-            jax.block_until_ready(fwd(arrs, pb, one_k))
-            t1 = time.perf_counter()
-            jax.block_until_ready(fwd(arrs, pb, two_k))
-            t2 = time.perf_counter()
-            out.append(((t2 - t1) - (t1 - t0)) / K * 1e3)
-        return {"device_p50_serve_bf16_ms": round(float(np.percentile(out, 50)), 4),
-                "stream": list(meta["stream"]),
-                "xla_vs_kernel_max_abs_diff": round(parity, 6)}
+
+        def diff_p50(f, a, p):
+            jax.block_until_ready(f(a, p, one_k))
+            jax.block_until_ready(f(a, p, two_k))
+            out = []
+            for _ in range(5):
+                t0 = time.perf_counter()
+                jax.block_until_ready(f(a, p, one_k))
+                t1 = time.perf_counter()
+                jax.block_until_ready(f(a, p, two_k))
+                t2 = time.perf_counter()
+                out.append(((t2 - t1) - (t1 - t0)) / K * 1e3)
+            return float(np.percentile(out, 50))
+
+        res = {"device_p50_serve_bf16_ms": round(diff_p50(fwd, arrs, pb), 4),
+               "stream": list(meta["stream"]),
+               "xla_vs_kernel_max_abs_diff": round(parity, 6)}
+
+        # int8-resident gate bank: the whole quantized bank lives in VMEM,
+        # zero per-frame weight HBM traffic (approximate int8c semantics)
+        if time.perf_counter() < deadline:
+            from robustcap_tpu.nn.rnn import quantize_params
+            import dataclasses
+            qp_s = quantize_params(params)
+            prep8 = prepare_serve_params(qp_s, int8_gates=True)
+            meta8 = {k: prep8[k] for k in ("H", "dtype", "stream")}
+            meta8["int8"] = True
+            arrs8 = {k: prep8[k] for k in ("ops", "init")}
+            cfg8 = dataclasses.replace(cfg, int8_compute=True)
+
+            @jax.jit
+            def fwd8(arrs_, p, f):
+                frames = sig_mp._sequence_frames(f["j2dc"], f["accc"],
+                                                 f["oric"], None, True,
+                                                 f["gravityc"][0])
+                frame0 = jax.tree.map(lambda x: x[0], frames)
+                carry = sig_mp.prescan_first_frame(
+                    p, model, sig_mp.init_carry(p), frame0,
+                    int8_compute=True)
+                poses, trans, _, _ = serve_scan(dict(arrs_, **meta8), model,
+                                                cfg8, frames, carry)
+                return poses, trans
+
+            sp8 = sig_mp.prepare_scan_params(qp_s, True)
+            p8, t8 = fwd8(arrs8, sp8, one_k)
+            parity8 = float(jnp.maximum(jnp.abs(pa - p8).max(),
+                                        jnp.abs(ta - t8).max()))
+            res["device_p50_serve_int8_ms"] = round(
+                diff_p50(fwd8, arrs8, sp8), 4)
+            res["int8_vs_bf16_max_abs_diff"] = round(parity8, 5)
+        return res
 
     serve = None
     if (bench_dtype == "f32" and os.environ.get("BENCH_SERVE", "1") != "0"

@@ -799,8 +799,11 @@ def forward_offline(params, body_model, cfg, j2dc, accc, oric,
         # repacking happens in-trace here — amortized over the sequence
         # (StreamingNet prepares once instead for repeated chunks)
         from ..ops.pallas_serve import prepare_serve_params, serve_scan
-        wdtype = params["rnn2"]["layers"][0]["w_ih"].dtype
-        prepped = prepare_serve_params(params, dtype=wdtype)
+        if cfg.int8_compute:  # int8-resident gate bank, nothing streamed
+            prepped = prepare_serve_params(params, int8_gates=True)
+        else:
+            wdtype = params["rnn2"]["layers"][0]["w_ih"].dtype
+            prepped = prepare_serve_params(params, dtype=wdtype)
         poses, trans, contacts, _ = serve_scan(prepped, body_model, cfg,
                                                frames, carry)
         return (poses, trans, contacts) if return_contacts else (poses,
@@ -902,10 +905,14 @@ class StreamingNet:
             from ..ops.pallas_serve import prepare_serve_params, serve_scan
             if not hasattr(self, "_serve_prepped"):
                 from ..nn.rnn import is_quantized
-                wdtype = (jnp.bfloat16 if is_quantized(self.params) else
-                          self.params["rnn2"]["layers"][0]["w_ih"].dtype)
-                self._serve_prepped = prepare_serve_params(self.params,
-                                                           dtype=wdtype)
+                if self.cfg.int8_compute:
+                    self._serve_prepped = prepare_serve_params(
+                        self.params, int8_gates=True)
+                else:
+                    wdtype = (jnp.bfloat16 if is_quantized(self.params) else
+                              self.params["rnn2"]["layers"][0]["w_ih"].dtype)
+                    self._serve_prepped = prepare_serve_params(self.params,
+                                                               dtype=wdtype)
             key = (K, "serve")
             if key not in self._chunk_fns:
                 cfg, model = self.cfg, self.body_model

@@ -84,12 +84,35 @@ _P99 = _perm_cmajor(33)
 # ---------------------------------------------------------------------------
 
 
-def _stack_ops(p, dtype, in_splits, in_perms, out_perm=None):
+def _qgate(w):
+    r"""Transposed int8 gate matrix + per-output-channel scales for the
+    kernel: torch-layout ``w [4H, in]`` (dense or already a
+    ``quantize_tensor`` record) -> (q [in, 4H] int8, scale [1, 4H] f32) —
+    the same per-row quantization ``nn.rnn.quantize_params`` stores."""
+    from ..nn.rnn import quantize_tensor
+
+    if not (isinstance(w, dict) and "q" in w):
+        w = quantize_tensor(w)
+    return w["q"].T, w["scale"][:, 0][None].astype(jnp.float32)
+
+
+def _stack_ops(p, dtype, in_splits, in_perms, out_perm=None,
+               int8_gates=False):
     r"""Kernel operands for one RNN stack: linear1 split into row segments
     (with per-segment input-lane permutations), fused+transposed gate
-    matrices stacked [L, 2H, 4H], per-layer summed biases [L, 4H], and the
-    (optionally column-permuted) linear2."""
-    w1 = p["linear1"]["w"].T  # [in, H]
+    matrices stacked [L, 2H, 4H] (or int8 w_ih/w_hh + scales when
+    ``int8_gates``), per-layer summed biases [L, 4H], and the (optionally
+    column-permuted) linear2."""
+    from ..nn.rnn import dequantize_tensor
+
+    def dense(w):
+        # quantized non-gate matrices dequantize straight to the compute
+        # dtype, exactly like XLA's _wval/dequantize_non_gate_params path
+        if isinstance(w, dict) and "q" in w:
+            w = dequantize_tensor(w, dtype)
+        return w
+
+    w1 = dense(p["linear1"]["w"]).T  # [in, H]
     segs = []
     off = 0
     for size, perm in zip(in_splits, in_perms):
@@ -99,18 +122,27 @@ def _stack_ops(p, dtype, in_splits, in_perms, out_perm=None):
         segs.append(seg.astype(dtype))
         off += size
     b1 = p["linear1"]["b"][None].astype(jnp.float32)
-    wfs = jnp.stack([
-        jnp.concatenate([l["w_ih"], l["w_hh"]], axis=1).T.astype(dtype)
-        for l in p["layers"]])                                  # [L, 2H, 4H]
+    if int8_gates:
+        ih = [_qgate(l["w_ih"]) for l in p["layers"]]
+        hh = [_qgate(l["w_hh"]) for l in p["layers"]]
+        gates = {"wih_q": jnp.stack([q for q, _ in ih]),    # [L, H, 4H] i8
+                 "wih_s": jnp.concatenate([s for _, s in ih]),  # [L, 4H]
+                 "whh_q": jnp.stack([q for q, _ in hh]),
+                 "whh_s": jnp.concatenate([s for _, s in hh])}
+    else:
+        gates = {"wfs": jnp.stack([
+            jnp.concatenate([dense(l["w_ih"]), dense(l["w_hh"])],
+                            axis=1).T.astype(dtype)
+            for l in p["layers"]])}                         # [L, 2H, 4H]
     bfs = jnp.stack([(l["b_ih"] + l["b_hh"]).astype(jnp.float32)
                      for l in p["layers"]])                     # [L, 4H]
-    w2 = p["linear2"]["w"].T
+    w2 = dense(p["linear2"]["w"]).T
     b2 = p["linear2"]["b"][None]
     if out_perm is not None:
         w2 = w2[:, out_perm]
         b2 = b2[:, out_perm]
-    return {"w1segs": segs, "b1": b1, "wfs": wfs, "bfs": bfs,
-            "w2": w2.astype(dtype), "b2": b2.astype(jnp.float32)}
+    return dict(gates, w1segs=segs, b1=b1, bfs=bfs,
+                w2=w2.astype(dtype), b2=b2.astype(jnp.float32))
 
 
 def serve_vmem_plan(params, dtype=jnp.bfloat16):
@@ -135,46 +167,74 @@ def serve_vmem_plan(params, dtype=jnp.bfloat16):
     return ("rnn4", "rnn6"), resident
 
 
-def prepare_serve_params(params, dtype=jnp.bfloat16, stream=None):
+def prepare_serve_params(params, dtype=jnp.bfloat16, stream=None,
+                         int8_gates=False):
     r"""Repack the six-stack parameter bank into kernel operands.
 
     ``stream``: stack names whose fused gate matrices stay in HBM and are
-    DMA'd per frame (None = auto from :func:`serve_vmem_plan`). Returns a
-    dict consumed by :func:`serve_scan`; build it ONCE per weight set (it
-    reshuffles ~the full bank) and reuse across chunks."""
+    DMA'd per frame (None = auto from :func:`serve_vmem_plan`).
+    ``int8_gates``: store the gate matrices int8 with per-output-channel
+    scales (the int8-MXU approximate serving mode, semantics of
+    ``SigMPConfig(int8_compute=True)``) — the whole bank then fits VMEM
+    (~64 MB) with NOTHING streamed, eliminating per-frame weight HBM
+    traffic entirely. Returns a dict consumed by :func:`serve_scan`; build
+    it ONCE per weight set (it reshuffles ~the full bank) and reuse across
+    chunks."""
     from ..nn.rnn import dequantize_params, is_quantized
 
-    if is_quantized(params):
+    if int8_gates:
+        dtype = jnp.bfloat16  # dense (non-gate) parts, like int8c's XLA path
+        stream = ()  # the whole int8 bank is VMEM-resident
+    elif is_quantized(params):
         params = dequantize_params(params)
     if stream is None:
         stream, _ = serve_vmem_plan(params, dtype)
     ops = {
         "rnn2": _stack_ops(params["rnn2"], dtype, [72], [None],
-                           out_perm=_P69),
-        "rnn3": _stack_ops(params["rnn3"], dtype, [72, 69], [None, _P69]),
+                           out_perm=_P69, int8_gates=int8_gates),
+        "rnn3": _stack_ops(params["rnn3"], dtype, [72, 69], [None, _P69],
+                           int8_gates=int8_gates),
         "rnn4": _stack_ops(params["rnn4"], dtype, [72, 99], [None, _P99],
-                           out_perm=_P69),
+                           out_perm=_P69, int8_gates=int8_gates),
         "rnn6": _stack_ops(params["rnn6"], dtype, [72, 99, 69],
-                           [None, _P99, _P69]),
-        "rnn7": _stack_ops(params["rnn7"], dtype, [72, 69], [None, _P69]),
-        "rnn8": _stack_ops(params["rnn8"], dtype, [72, 69], [None, _P69]),
+                           [None, _P99, _P69], int8_gates=int8_gates),
+        "rnn7": _stack_ops(params["rnn7"], dtype, [72, 69], [None, _P69],
+                           int8_gates=int8_gates),
+        "rnn8": _stack_ops(params["rnn8"], dtype, [72, 69], [None, _P69],
+                           int8_gates=int8_gates),
     }
     init = params["rnn2"].get("init_net")
     init_ops = None
     if init is not None:
-        wi0 = init[0]["w"].T[_P69].astype(dtype)        # consumes c-major j3dr
+        from ..nn.rnn import dequantize_tensor
+
+        def dense(w):
+            # (int8 trees: dequant to bf16 first — the value set XLA's
+            # non-gate path computes with — then hold f32)
+            if isinstance(w, dict) and "q" in w:
+                w = dequantize_tensor(w, jnp.bfloat16)
+            return w
+
+        # init_net math stays f32 (XLA's init_net_apply upcasts the weights
+        # to the f32 label's dtype), so store the matrices f32
+        wi0 = dense(init[0]["w"]).T[_P69].astype(jnp.float32)  # c-major j3dr
         init_ops = [wi0, init[0]["b"][None].astype(jnp.float32),
-                    init[1]["w"].T.astype(dtype),
+                    dense(init[1]["w"]).T.astype(jnp.float32),
                     init[1]["b"][None].astype(jnp.float32),
-                    init[2]["w"].T.astype(dtype),
+                    dense(init[2]["w"]).T.astype(jnp.float32),
                     init[2]["b"][None].astype(jnp.float32)]
-    H = {n: int(params[n]["layers"][0]["w_hh"].shape[1])
-         for n in ("rnn2", "rnn3", "rnn4", "rnn6", "rnn7", "rnn8")}
+    def hidden(n):  # w_hh may be a {"q", "scale"} record (int8 trees)
+        w = params[n]["layers"][0]["w_hh"]
+        return int((w["q"] if isinstance(w, dict) and "q" in w else w
+                    ).shape[1])
+
+    H = {n: hidden(n) for n in ("rnn2", "rnn3", "rnn4", "rnn6", "rnn7",
+                                "rnn8")}
     if not (H["rnn2"] == H["rnn3"] == H["rnn7"] == H["rnn8"]):
         raise ValueError("serve kernel packs rnn2/3/7/8 state jointly; "
                          "their hidden sizes must match")
     return {"ops": ops, "init": init_ops, "H": H, "dtype": jnp.dtype(dtype),
-            "stream": tuple(stream)}
+            "stream": tuple(stream), "int8": bool(int8_gates)}
 
 
 # ---------------------------------------------------------------------------
@@ -250,8 +310,17 @@ _TAIL_CONST_KEYS = ("gpar", "anc", "bone", "mask_nroot", "row0", "feet",
                     "wsub", "v0sub", "j0", "ssync", "msync", "fmean")
 
 
+def _quant_row(x):
+    r"""nn.rnn.quantize_activation: dynamic symmetric per-row int8."""
+    f32 = jnp.float32
+    amax = jnp.max(jnp.abs(x), axis=1, keepdims=True)
+    scale = jnp.maximum(amax.astype(f32), 1e-12) / 127.0
+    q = jnp.clip(jnp.round(x.astype(f32) / scale), -127, 127).astype(jnp.int8)
+    return q, scale
+
+
 def _make_kernel(T, H, dtype, stream, flags, blendshape, use_imu_updater,
-                 live, update_vision_freq, conf_lo, conf_hi):
+                 live, update_vision_freq, conf_lo, conf_hi, int8):
     f32 = jnp.float32
     H2, H4, H6 = H["rnn2"], H["rnn4"], H["rnn6"]
     slot512 = {"rnn2": 0, "rnn3": 1, "rnn7": 2, "rnn8": 3}
@@ -266,8 +335,14 @@ def _make_kernel(T, H, dtype, stream, flags, blendshape, use_imu_updater,
         for name, nseg in (("rnn2", 1), ("rnn3", 2), ("rnn4", 2),
                            ("rnn6", 3), ("rnn7", 2), ("rnn8", 2)):
             segs = take(nseg)
-            b1, wfs, bfs, w2, b2 = take(5)
-            stacks[name] = dict(w1segs=segs, b1=b1, wfs=wfs, bfs=bfs,
+            if int8:
+                wih_q, wih_s, whh_q, whh_s = take(4)
+                gates = dict(wih_q=wih_q, wih_s=wih_s, whh_q=whh_q,
+                             whh_s=whh_s)
+            else:
+                gates = dict(wfs=take(1)[0])
+            b1, bfs, w2, b2 = take(4)
+            stacks[name] = dict(gates, w1segs=segs, b1=b1, bfs=bfs,
                                 w2=w2, b2=b2)
         init_refs = take(6) if use_imu_updater else []
         (in2_r, raw72_r, j2n_r, j2r_r, rcr_r, fmisc_r) = take(6)
@@ -314,28 +389,52 @@ def _make_kernel(T, H, dtype, stream, flags, blendshape, use_imu_updater,
             h_s, c_s_, off = state_scr(name)
             streamed = name in stream
             out = y
+            bf16 = jnp.bfloat16
             for l in range(2):
-                if streamed:
-                    dma = pltpu.make_async_copy(
-                        st["wfs"].at[l], dma_buf.at[0:2 * Hn, 0:4 * Hn],
-                        dma_sem)
-                    dma.start()
-                    dma.wait()
-                    wf = dma_buf[0:2 * Hn, 0:4 * Hn]
-                else:
-                    wf = st["wfs"][l]
                 h = h_s[pl.ds(off + l * 8, 8), :]
                 c_ = c_s_[pl.ds(off + l * 8, 8), :]
-                xh = jnp.concatenate([out.astype(dtype), h.astype(dtype)],
-                                     axis=1)
-                z = jnp.dot(xh, wf, preferred_element_type=f32) \
-                    + st["bfs"][l:l + 1, :]
-                i = jax.nn.sigmoid(z[:, :Hn])
-                f = jax.nn.sigmoid(z[:, Hn:2 * Hn])
-                g = jnp.tanh(z[:, 2 * Hn:3 * Hn])
-                o = jax.nn.sigmoid(z[:, 3 * Hn:])
-                c_new = f * c_ + i * g
-                h_new = o * jnp.tanh(c_new)
+                if int8:
+                    # int8-MXU gate path, bit-matching nn.rnn.lstm_cell's
+                    # int8_compute branch: x and h quantized separately,
+                    # int32 accumulation, bf16 rescale/gates (the XLA path's
+                    # compute dtype), states carried f32 between steps
+                    xq, sx = _quant_row(out.astype(bf16))
+                    hq, sh = _quant_row(h.astype(bf16))
+                    zx = (jnp.dot(xq, st["wih_q"][l],
+                                  preferred_element_type=jnp.int32
+                                  ).astype(f32) * sx
+                          * st["wih_s"][l:l + 1, :]).astype(bf16)
+                    zh = (jnp.dot(hq, st["whh_q"][l],
+                                  preferred_element_type=jnp.int32
+                                  ).astype(f32) * sh
+                          * st["whh_s"][l:l + 1, :]).astype(bf16)
+                    z = zx + zh + st["bfs"][l:l + 1, :].astype(bf16)
+                    i = jax.nn.sigmoid(z[:, :Hn])
+                    f = jax.nn.sigmoid(z[:, Hn:2 * Hn])
+                    g = jnp.tanh(z[:, 2 * Hn:3 * Hn])
+                    o = jax.nn.sigmoid(z[:, 3 * Hn:])
+                    c_new = (f * c_.astype(bf16) + i * g).astype(f32)
+                    h_new = (o * jnp.tanh(c_new.astype(bf16))).astype(f32)
+                else:
+                    if streamed:
+                        dma = pltpu.make_async_copy(
+                            st["wfs"].at[l], dma_buf.at[0:2 * Hn, 0:4 * Hn],
+                            dma_sem)
+                        dma.start()
+                        dma.wait()
+                        wf = dma_buf[0:2 * Hn, 0:4 * Hn]
+                    else:
+                        wf = st["wfs"][l]
+                    xh = jnp.concatenate([out.astype(dtype),
+                                          h.astype(dtype)], axis=1)
+                    z = jnp.dot(xh, wf, preferred_element_type=f32) \
+                        + st["bfs"][l:l + 1, :]
+                    i = jax.nn.sigmoid(z[:, :Hn])
+                    f = jax.nn.sigmoid(z[:, Hn:2 * Hn])
+                    g = jnp.tanh(z[:, 2 * Hn:3 * Hn])
+                    o = jax.nn.sigmoid(z[:, 3 * Hn:])
+                    c_new = f * c_ + i * g
+                    h_new = o * jnp.tanh(c_new)
                 if commit is not None:
                     h_new_w = jnp.where(commit, h_new, h)
                     c_new_w = jnp.where(commit, c_new, c_)
@@ -348,16 +447,27 @@ def _make_kernel(T, H, dtype, stream, flags, blendshape, use_imu_updater,
 
         def head_out(name, top):
             st = stacks[name]
-            return jnp.dot(top.astype(dtype), st["w2"][:],
-                           preferred_element_type=f32) + st["b2"][:]
+            z = jnp.dot(top.astype(dtype), st["w2"][:],
+                        preferred_element_type=f32)
+            if int8:
+                # XLA's int8c path runs linear2 dense in bf16 and the step
+                # returns f32 (nn.rnn.rnn_step) — mirror the rounding
+                return (z.astype(jnp.bfloat16)
+                        + st["b2"][:].astype(jnp.bfloat16)).astype(f32)
+            return z + st["b2"][:]
 
         def lin1(name, xs):
             r"""relu(sum_i x_i @ w1seg_i + b1) over the input segments."""
             st = stacks[name]
-            z = st["b1"][:]
+            z = None
             for x, w in zip(xs, st["w1segs"]):
-                z = z + jnp.dot(x.astype(dtype), w[:],
-                                preferred_element_type=f32)
+                t = jnp.dot(x.astype(dtype), w[:],
+                            preferred_element_type=f32)
+                z = t if z is None else z + t
+            if int8:  # bf16 dense linear1, like XLA's int8c step
+                z = z.astype(jnp.bfloat16) + st["b1"][:].astype(jnp.bfloat16)
+            else:
+                z = z + st["b1"][:]
             return jnp.maximum(z, 0.0)
 
         tail = partial(tail_math, consts=consts, **flags)
@@ -466,14 +576,16 @@ def _make_kernel(T, H, dtype, stream, flags, blendshape, use_imu_updater,
             new_first_reach = first_reach
             if use_imu_updater:
                 iu = (c >= conf_hi) & (first_reach > 0.5)
+                # f32 math like XLA's init_net_apply (the f32 label upcasts
+                # the weights); the prep stores these matrices f32
                 wi0, bi0, wi1, bi1, wi2, bi2 = [r[:] for r in init_refs]
-                x = jnp.maximum(jnp.dot(j3dr.astype(dtype), wi0,
+                x = jnp.maximum(jnp.dot(j3dr, wi0,
                                         preferred_element_type=f32) + bi0,
                                 0.0)
-                x = jnp.maximum(jnp.dot(x.astype(dtype), wi1,
+                x = jnp.maximum(jnp.dot(x, wi1,
                                         preferred_element_type=f32) + bi1,
                                 0.0)
-                x = jnp.dot(x.astype(dtype), wi2,
+                x = jnp.dot(x, wi2,
                             preferred_element_type=f32) + bi2   # [1, 4*H2]
                 for l in range(2):
                     h_i = jnp.broadcast_to(x[:, l * H2:(l + 1) * H2],
@@ -538,9 +650,12 @@ def serve_scan(prepped, body_model, cfg, frames, carry, interpret=None):
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    if cfg.use_reproj_opt or cfg.int8_compute or not cfg.use_vision_updater:
+    if cfg.use_reproj_opt or not cfg.use_vision_updater:
         raise ValueError("pallas_serve supports the standard serving "
-                         "configuration (vision updater on, no reproj/int8)")
+                         "configuration (vision updater on, no reproj)")
+    if bool(cfg.int8_compute) != bool(prepped.get("int8")):
+        raise ValueError("cfg.int8_compute requires int8_gates prepped "
+                         "params (and vice versa)")
     f32 = jnp.float32
     ops, H, dtype = prepped["ops"], prepped["H"], prepped["dtype"]
     stream = prepped["stream"]
@@ -604,20 +719,21 @@ def serve_scan(prepped, body_model, cfg, frames, carry, interpret=None):
                  update_vision_freq=int(cfg.update_vision_freq),
                  landmarks=True, blendshape=blendshape)
 
+    int8 = bool(prepped.get("int8"))
     operands = []
     in_specs = []
-    n_stack_ops = 0
     for name in ("rnn2", "rnn3", "rnn4", "rnn6", "rnn7", "rnn8"):
         o = ops[name]
-        group = list(o["w1segs"]) + [o["b1"], o["wfs"], o["bfs"], o["w2"],
-                                     o["b2"]]
+        gates = ([o["wih_q"], o["wih_s"], o["whh_q"], o["whh_s"]] if int8
+                 else [o["wfs"]])
+        group = list(o["w1segs"]) + gates + [o["b1"], o["bfs"], o["w2"],
+                                             o["b2"]]
         for arr in group:
             operands.append(arr)
-            if arr is o["wfs"] and name in stream:
+            if not int8 and arr is o["wfs"] and name in stream:
                 in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
             else:
                 in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
-        n_stack_ops += len(group)
     if use_imu_updater:
         operands += prepped["init"]
         in_specs += [pl.BlockSpec(memory_space=pltpu.VMEM)] * 6
@@ -668,13 +784,13 @@ def serve_scan(prepped, body_model, cfg, frames, carry, interpret=None):
 
     kern = _make_kernel(T, H, dtype, frozenset(stream), flags, blendshape,
                         use_imu_updater, bool(cfg.live),
-                        int(cfg.update_vision_freq), conf_lo, conf_hi)
+                        int(cfg.update_vision_freq), conf_lo, conf_hi, int8)
 
     vmem_bytes = sum(
         int(np.prod(x.shape)) * x.dtype.itemsize for x in operands
         if not isinstance(x, pl.BlockSpec))
     # streamed gate matrices live in HBM; subtract them, add the buffer
-    for name in stream:
+    for name in () if int8 else stream:
         vmem_bytes -= int(np.prod(ops[name]["wfs"].shape)) \
             * jnp.dtype(dtype).itemsize
     if stream:

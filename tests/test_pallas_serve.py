@@ -226,3 +226,41 @@ class TestEndToEnd:
                                        atol=ATOL)
             np.testing.assert_allclose(np.asarray(tc), np.asarray(uc),
                                        atol=ATOL)
+
+
+class TestInt8Gates:
+    def test_int8_agreement(self, setup):
+        r"""int8-resident gate mode vs the XLA int8c branchless scan (the
+        approximate serving mode's own oracle). Exact matching of the
+        dynamic activation quantization is rounding-sensitive (bf16 sums
+        reach the quantizer through different partial-sum orders), so the
+        tolerance is looser than f32 — but far tighter than the int8c
+        mode's own deviation from f32 (docs/PERFORMANCE.md)."""
+        from robustcap_tpu.nn.rnn import quantize_params
+        model, params = setup
+        qp = quantize_params(params)
+        cfg8 = SigMPConfig(int8_compute=True)
+        frames = _frames(jax.random.PRNGKey(11), MIXED,
+                         first_tran=jnp.asarray([0.1, 0.2, 1.5]))
+        sp = sig_mp.prepare_scan_params(qp, True)
+        step = sig_mp.make_step(model, cfg8, include_first_frame_step=False,
+                                output_contacts=True, cond_updater=False,
+                                fuse_spec_heads=False)
+        frame0 = jax.tree.map(lambda x: x[0], frames)
+        carry0 = sig_mp.prescan_first_frame(sp, model,
+                                            sig_mp.init_carry(sp), frame0,
+                                            int8_compute=True)
+        _, (pose_x, tran_x, _) = jax.lax.scan(partial(step, sp), carry0,
+                                              frames)
+        prepped = prepare_serve_params(qp, int8_gates=True)
+        pose_s, tran_s, _, _ = serve_scan(prepped, model, cfg8, frames,
+                                          carry0)
+        np.testing.assert_allclose(np.asarray(pose_s), np.asarray(pose_x),
+                                   atol=3e-2, rtol=0)
+        np.testing.assert_allclose(np.asarray(tran_s), np.asarray(tran_x),
+                                   atol=3e-2, rtol=0)
+        # and it must stay close to the exact f32 trajectory (quality bound
+        # of the int8c contract, tests/test_quantization.py)
+        carry_f, (pose_f, tran_f, _) = _run_xla(params, model,
+                                                SigMPConfig(), frames)
+        assert float(jnp.abs(pose_s - pose_f).max()) < 0.2
