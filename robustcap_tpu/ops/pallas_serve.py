@@ -420,7 +420,15 @@ def _make_kernel(T, H, dtype, stream, flags, blendshape, use_imu_updater,
                         dma = pltpu.make_async_copy(
                             st["wfs"].at[l], dma_buf.at[0:2 * Hn, 0:4 * Hn],
                             dma_sem)
-                        dma.start()
+                        if (name, l) != prefetched:
+                            # the first streamed matrix's copy was started
+                            # at the top of the frame body (prefetch), so
+                            # its ~2H*4H bytes stream in while the resident
+                            # stacks compute; later matrices reuse the
+                            # buffer, so they start only after the previous
+                            # dot has consumed it (program order keeps the
+                            # write-after-read safe)
+                            dma.start()
                         dma.wait()
                         wf = dma_buf[0:2 * Hn, 0:4 * Hn]
                     else:
@@ -472,7 +480,20 @@ def _make_kernel(T, H, dtype, stream, flags, blendshape, use_imu_updater,
 
         tail = partial(tail_math, consts=consts, **flags)
 
+        # static: the first streamed (stack, layer) in execution order gets
+        # its HBM->VMEM copy started at the TOP of each frame, overlapping
+        # the DMA with everything computed before that stack runs
+        exec_order = ("rnn2", "rnn3", "rnn7", "rnn8", "rnn4", "rnn6")
+        streamed_order = [n for n in exec_order if n in stream]
+        prefetched = (streamed_order[0], 0) if streamed_order else None
+
         def body(t, _):
+            if prefetched is not None:
+                nm = prefetched[0]
+                Hp = H[nm]
+                pltpu.make_async_copy(
+                    stacks[nm]["wfs"].at[0],
+                    dma_buf.at[0:2 * Hp, 0:4 * Hp], dma_sem).start()
             fm = fmisc_r[pl.ds(t * 8, 8), :][0:1, :]            # [1, 16]
             c = fm[:, 0:1]
             k_lerp = fm[:, 1:2]
@@ -656,6 +677,12 @@ def serve_scan(prepped, body_model, cfg, frames, carry, interpret=None):
     if bool(cfg.int8_compute) != bool(prepped.get("int8")):
         raise ValueError("cfg.int8_compute requires int8_gates prepped "
                          "params (and vice versa)")
+    if any(n not in ("rnn4", "rnn6") for n in prepped["stream"]):
+        # the 512-wide stacks run their cells twice per frame (speculative
+        # + final), which would double their DMA traffic and break the
+        # frame-top prefetch pairing; they are small enough to stay
+        # resident in every plan
+        raise ValueError("only rnn4/rnn6 gate matrices can be streamed")
     f32 = jnp.float32
     ops, H, dtype = prepped["ops"], prepped["H"], prepped["dtype"]
     stream = prepped["stream"]
