@@ -157,7 +157,12 @@ def serve_vmem_plan(params, dtype=jnp.bfloat16):
 
     total = sum(int(l.size) * isize for l in jax.tree.leaves(params)
                 if hasattr(l, "size"))
-    budget = 100 * 2 ** 20
+    # v5e VMEM is 128 MiB; frames/activations/outputs for a 240-frame chunk
+    # are ~4-6 MiB, so cap resident weights + the DMA buffer at 110 MiB.
+    # At full width bf16 this selects ("rnn6",): 93 MiB resident + a
+    # 17 MiB buffer; streaming MORE than one stack would pay most of the
+    # XLA path's per-frame weight traffic again.
+    budget = 110 * 2 ** 20
     for stream in [(), ("rnn6",), ("rnn4",), ("rnn4", "rnn6")]:
         buf = max([gate_bytes(s) // len(params[s]["layers"])
                    for s in stream] or [0])
