@@ -286,7 +286,8 @@ def main():
         return float(np.percentile(out, 50))
 
     device_p50_bf16_ms = None
-    if bench_dtype == "f32" and time.perf_counter() < deadline:
+    if (bench_dtype == "f32" and os.environ.get("BENCH_P50_BF16", "1") != "0"
+            and time.perf_counter() < deadline):
         device_p50_bf16_ms = guarded("p50_bf16", run_p50_bf16)
 
     # -- fused geometry-tail Pallas kernel (ops/pallas_tail.py): the whole
@@ -436,7 +437,8 @@ def main():
         return float(np.percentile(lat, 50) * 1e3)
 
     tunnel_p50_ms = None
-    if time.perf_counter() < deadline:
+    if (os.environ.get("BENCH_TUNNEL", "1") != "0"
+            and time.perf_counter() < deadline):
         tunnel_p50_ms = guarded("tunnel_latency", run_tunnel_latency)
 
     # -- baseline: the real reference on this host's CPU -------------------

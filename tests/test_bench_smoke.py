@@ -16,6 +16,13 @@ def bench_env(monkeypatch):
         "BENCH_BATCH": "2", "BENCH_FRAMES": "8", "BENCH_SEQ_FRAMES": "4",
         "BENCH_SMPLIFY": "0", "BENCH_INT8C": "0", "BENCH_TRAIN": "0",
         "BENCH_PALLAS": "0", "BENCH_BUNDLE": "0",
+        # the fused tail/serve kernel sections compile full-width interpret
+        # programs — far too slow for a CPU smoke (their correctness lives
+        # in tests/test_pallas_tail.py / test_pallas_serve.py)
+        "BENCH_TAIL": "0", "BENCH_SERVE": "0",
+        # ungated-by-default timing extras: each costs a scan compile that
+        # eats the smoke deadline on degraded 1-vCPU hosts
+        "BENCH_P50_BF16": "0", "BENCH_TUNNEL": "0",
         "BENCH_DEADLINE_S": "200", "BENCH_HARD_DEADLINE_S": "900",
     }.items():
         monkeypatch.setenv(k, v)
