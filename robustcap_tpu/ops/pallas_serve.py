@@ -363,6 +363,10 @@ def _make_kernel(T, H, dtype, stream, flags, blendshape, use_imu_updater,
         cmisc_s, fbuf_s, jtemp_s, lpfoot_s = take(4)
         if stream:
             dma_buf, dma_sem = take(2)
+        if live:
+            o4_scr, o6_scr = take(2)
+            o4_scr[:] = jnp.zeros((8, 69), f32)
+            o6_scr[:] = jnp.zeros((8, 3), f32)
 
         consts = {k: r[:] for k, r in zip(_TAIL_CONST_KEYS, tc_refs)}
         consts["pd"] = pd_ref  # stays a ref (static leading-index loads)
@@ -493,12 +497,6 @@ def _make_kernel(T, H, dtype, stream, flags, blendshape, use_imu_updater,
         prefetched = (streamed_order[0], 0) if streamed_order else None
 
         def body(t, _):
-            if prefetched is not None:
-                nm = prefetched[0]
-                Hp = H[nm]
-                pltpu.make_async_copy(
-                    stacks[nm]["wfs"].at[0],
-                    dma_buf.at[0:2 * Hp, 0:4 * Hp], dma_sem).start()
             fm = fmisc_r[pl.ds(t * 8, 8), :][0:1, :]            # [1, 16]
             c = fm[:, 0:1]
             k_lerp = fm[:, 1:2]
@@ -521,6 +519,32 @@ def _make_kernel(T, H, dtype, stream, flags, blendshape, use_imu_updater,
             last_tran = cm[:, 8:11]
 
             conf_vis = c > conf_lo
+            if live:
+                # rnn4/rnn6 are observable this frame only if the visual
+                # branch runs (confident) or the synthetic refeed commits
+                # (occluded AND the throttle fires — the carried counter is
+                # 0, equivalent to the spec tail's vision_count==freq test);
+                # otherwise both wide stacks (and the rnn6 weight DMA) are
+                # provably dead work and are skipped (the XLA live path
+                # does the same with nested lax.cond)
+                need46 = conf_vis | ((c <= conf_lo)
+                                     & (vision_count == 0.0))
+            else:
+                need46 = None
+
+            if prefetched is not None:
+                nm = prefetched[0]
+                Hp = H[nm]
+
+                def _start_prefetch():
+                    pltpu.make_async_copy(
+                        stacks[nm]["wfs"].at[0],
+                        dma_buf.at[0:2 * Hp, 0:4 * Hp], dma_sem).start()
+
+                if live:
+                    pl.when(need46[0, 0])(_start_prefetch)
+                else:
+                    _start_prefetch()
 
             # -- rnn2: inertial joints (j3dr_i), c-major output ------------
             y2 = lin1("rnn2", [in2])
@@ -564,12 +588,22 @@ def _make_kernel(T, H, dtype, stream, flags, blendshape, use_imu_updater,
             j3syn69 = _flat_cmajor(_shift_minus_root(T_spec["joint"]), 23)
 
             # -- rnn4 (single eval, input select; sig_mp.py steady form) ---
-            sel99 = jnp.where(vu, jnp.broadcast_to(j2syn_n99, (8, 99)),
-                              j2n99)
-            y4 = lin1("rnn4", [raw72, sel99])
             m4 = (conf_vis & (ff < 0.5)) | vu
-            top4 = cells("rnn4", y4, m4, H4)
-            out4 = head_out("rnn4", top4)[0:1, :]               # [1, 69]
+
+            def _rnn4_out():
+                sel99 = jnp.where(vu, jnp.broadcast_to(j2syn_n99, (8, 99)),
+                                  j2n99)
+                y4 = lin1("rnn4", [raw72, sel99])
+                top4 = cells("rnn4", y4, m4, H4)
+                return head_out("rnn4", top4)
+
+            if live:
+                @pl.when(need46[0, 0])
+                def _run4():
+                    o4_scr[:] = _rnn4_out()
+                out4 = o4_scr[0:1, :]
+            else:
+                out4 = _rnn4_out()[0:1, :]                      # [1, 69]
             out4_eff = jnp.where(ff > 0.5, o4f_r[0:1, :], out4)
             j3dr_v = _rot69_cmajor(out4_eff, rcr)
             j3dr = jnp.where(
@@ -579,13 +613,24 @@ def _make_kernel(T, H, dtype, stream, flags, blendshape, use_imu_updater,
                           out2[0:1, :]))
 
             # -- rnn6 (single eval, input select) --------------------------
-            sel99r = jnp.where(vu, jnp.broadcast_to(j2syn99, (8, 99)), j2r99)
-            sel69 = jnp.where(vu, jnp.broadcast_to(j3syn69, (8, 69)),
-                              jnp.broadcast_to(out4_eff, (8, 69)))
-            y6 = lin1("rnn6", [raw72, sel99r, sel69])
             m6 = conf_vis | vu
-            top6 = cells("rnn6", y6, m6, H6)
-            out6 = head_out("rnn6", top6)[0:1, :]               # [1, 3]
+
+            def _rnn6_out():
+                sel99r = jnp.where(vu, jnp.broadcast_to(j2syn99, (8, 99)),
+                                   j2r99)
+                sel69 = jnp.where(vu, jnp.broadcast_to(j3syn69, (8, 69)),
+                                  jnp.broadcast_to(out4_eff, (8, 69)))
+                y6 = lin1("rnn6", [raw72, sel99r, sel69])
+                top6 = cells("rnn6", y6, m6, H6)
+                return head_out("rnn6", top6)
+
+            if live:
+                @pl.when(need46[0, 0])
+                def _run6():
+                    o6_scr[:] = _rnn6_out()
+                out6 = o6_scr[0:1, :]
+            else:
+                out6 = _rnn6_out()[0:1, :]                      # [1, 3]
             pc = jnp.where(conf_vis, out6, pc_first)
 
             # -- FINAL heads on the gated joints + final tail --------------
@@ -813,6 +858,11 @@ def serve_scan(prepped, body_model, cfg, frames, carry, interpret=None):
         Hbuf = max(H[n] for n in stream)
         scratch += [pltpu.VMEM((2 * Hbuf, 4 * Hbuf), dtype),
                     pltpu.SemaphoreType.DMA]
+    if cfg.live:
+        # live mode skips rnn4/rnn6 on throttled occluded frames; their
+        # head outputs cross the pl.when boundary through scratch
+        scratch += [pltpu.VMEM((8, 69), jnp.float32),
+                    pltpu.VMEM((8, 3), jnp.float32)]
 
     kern = _make_kernel(T, H, dtype, frozenset(stream), flags, blendshape,
                         use_imu_updater, bool(cfg.live),

@@ -139,6 +139,18 @@ class TestServeAgreement:
                          first_tran=jnp.asarray([0.0, 0.0, 2.0]))
         _check(params, model, cfg, frames)
 
+    def test_live_throttle_streamed(self, setup):
+        r"""Live skip + DMA streaming together: the frame-top prefetch and
+        the in-cells wait are both inside the same pl.when, so the
+        semaphore pairing must survive skipped frames."""
+        model, params = setup
+        cfg = SigMPConfig(live=True, update_vision_freq=3,
+                          conf_range=(0.5, 0.6))
+        pattern = [0.3, 0.2, 0.9, 0.1, 0.2, 0.3, 0.1, 0.9, 0.2, 0.1]
+        frames = _frames(jax.random.PRNGKey(12), pattern,
+                         first_tran=jnp.asarray([0.0, 0.0, 2.0]))
+        _check(params, model, cfg, frames, stream=("rnn6",))
+
     def test_no_flat_floor(self, setup):
         model, params = setup
         frames = _frames(jax.random.PRNGKey(5), MIXED)
