@@ -414,6 +414,28 @@ def main():
             res["device_p50_serve_int8_ms"] = round(
                 diff_p50(fwd8, arrs8, sp8), 4)
             res["int8_vs_bf16_max_abs_diff"] = round(parity8, 5)
+
+        # live serving: throttled occluded frames skip BOTH wide stacks
+        # (and the rnn6 weight DMA) inside the kernel — with live_mode's
+        # conf_range the uniform(0.3, 1) confidences are ~79% occluded
+        if time.perf_counter() < deadline:
+            import dataclasses
+            cfgl = SigMPConfig.live_mode()
+
+            @jax.jit
+            def fwdl(arrs_, p, f):
+                frames = sig_mp._sequence_frames(f["j2dc"], f["accc"],
+                                                 f["oric"], None, True,
+                                                 f["gravityc"][0])
+                frame0 = jax.tree.map(lambda x: x[0], frames)
+                carry = sig_mp.prescan_first_frame(
+                    p, model, sig_mp.init_carry(p), frame0)
+                poses, trans, _, _ = serve_scan(dict(arrs_, **meta), model,
+                                                cfgl, frames, carry)
+                return poses, trans
+
+            res["device_p50_serve_live_bf16_ms"] = round(
+                diff_p50(fwdl, arrs, pb), 4)
         return res
 
     serve = None
