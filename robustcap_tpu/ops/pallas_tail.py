@@ -354,8 +354,11 @@ def tail_constants(body_model):
     feet = np.zeros((2, J), np.float32)
     feet[0, 10] = 1.0
     feet[1, 11] = 1.0
-    mp = np.asarray(MP_VERTEX_MASK, np.int64)
-    wsub = np.asarray(body_model._skinning_weights, np.float32)[mp]
+    # clamp like the XLA path's jnp gather does (synthetic test models can
+    # have fewer vertices than the real SMPL ids in MP_VERTEX_MASK)
+    wall = np.asarray(body_model._skinning_weights, np.float32)
+    mp = np.clip(np.asarray(MP_VERTEX_MASK, np.int64), 0, wall.shape[0] - 1)
+    wsub = wall[mp]
     v0sub = np.asarray(body_model._zero_pose_vertex, np.float32)[mp]
     j0 = np.asarray(body_model._zero_pose_joint, np.float32)
     # sync_mp3d (sig_mp.py:287-299): landmark row <- joint row

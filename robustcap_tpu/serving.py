@@ -40,9 +40,62 @@ __all__ = ["export_serving_bundle", "ServingBundle"]
 _FORMAT_VERSION = 1
 
 
+def _bundle_prepped(params, cfg: SigMPConfig):
+    r"""The serve kernel's repacked operand bank for a bundle's weights —
+    deterministic given (params, cfg), so the load-time rebuild produces
+    exactly the pytree the exported chunk program was traced with."""
+    import jax.numpy as jnp
+
+    from .nn.rnn import is_quantized
+    from .ops.pallas_serve import prepare_serve_params
+
+    if cfg.int8_compute:
+        return prepare_serve_params(params, int8_gates=True)
+    wdtype = (jnp.bfloat16 if is_quantized(params) else
+              params["rnn2"]["layers"][0]["w_ih"].dtype)
+    return prepare_serve_params(params, dtype=wdtype)
+
+
+def _make_chunk_fn(params, body_model: ParametricModel, cfg: SigMPConfig,
+                   K: int):
+    r"""(fn, example_args) for the K-frame chunk program: the whole-step
+    weight-resident kernel when ``cfg.pallas_serve``, else the XLA scan of
+    the cond step. fn(params_or_arrs, carry, frames) -> (new_carry,
+    (poses, trans))."""
+    from functools import partial
+
+    frames0 = sig_mp._sequence_frames(
+        np.zeros((K, 33, 3), np.float32), np.zeros((K, 6, 3), np.float32),
+        np.broadcast_to(np.eye(3, dtype=np.float32), (K, 6, 3, 3)).copy(),
+        None, False, None)
+    carry = sig_mp.init_carry(params)
+    if cfg.pallas_serve:
+        from .ops.pallas_serve import serve_scan
+
+        prepped = _bundle_prepped(params, cfg)
+        meta = {k: prepped[k] for k in ("H", "dtype", "stream", "int8")}
+        arrs = {k: prepped[k] for k in ("ops", "init")}
+
+        def fn(arrs_, carry, frames):
+            poses, trans, _, new_carry = serve_scan(
+                dict(arrs_, **meta), body_model, cfg, frames, carry)
+            return new_carry, (poses, trans)
+
+        return fn, (arrs, carry, frames0)
+
+    step = sig_mp.make_step(body_model, cfg, include_first_frame_step=False,
+                            cond_updater=True)
+
+    def fn(params_, carry, frames):
+        sp = sig_mp.prepare_scan_params(params_, cfg.int8_compute)
+        return jax.lax.scan(partial(step, sp), carry, frames)
+
+    return fn, (params, carry, frames0)
+
+
 def export_serving_bundle(params, body_model: ParametricModel,
                           cfg: SigMPConfig, path: str,
-                          platforms=None) -> dict:
+                          platforms=None, chunk_len: int = 0) -> dict:
     r"""Export the steady streaming step + first-frame prescan to ``path``.
 
     The exported functions take ``(params, carry, frame)`` as runtime
@@ -57,6 +110,15 @@ def export_serving_bundle(params, body_model: ParametricModel,
     platform's compiler to be functional in-process (true for cpu
     everywhere; "tpu" lowering does not work through this environment's
     experimental network-tunneled backend).
+
+    ``chunk_len > 0`` additionally exports a K-frame chunk program
+    (``chunk.bin``): with ``cfg.pallas_serve`` that is the whole-step
+    weight-resident kernel (ops/pallas_serve.py) as a serialized Mosaic
+    custom call — platform-specific, so pair it with a single-platform
+    export; otherwise the XLA scan of the cond step. The chunk takes
+    ``(prepped_or_params, carry, frames)`` at runtime; ``ServingBundle``
+    rebuilds the repacked operand bank from ``weights.pkl`` at load time
+    (a cheap reshuffle, not a re-trace).
     """
     from jax import export as jexport
 
@@ -89,6 +151,18 @@ def export_serving_bundle(params, body_model: ParametricModel,
     with open(os.path.join(path, "prescan.bin"), "wb") as f:
         f.write(exp_pre.serialize())
 
+    if chunk_len > 0:
+        chunk_fn, chunk_args = _make_chunk_fn(params, body_model, cfg,
+                                              chunk_len)
+        chunk_shapes = jax.tree.map(
+            lambda x: jax.ShapeDtypeStruct(np.shape(x), x.dtype), chunk_args)
+        exp_chunk = jexport.export(
+            jax.jit(chunk_fn),
+            platforms=None if platforms is None else list(platforms)
+        )(*chunk_shapes)
+        with open(os.path.join(path, "chunk.bin"), "wb") as f:
+            f.write(exp_chunk.serialize())
+
     from .train import save_pytree
     save_pytree(params, os.path.join(path, "weights.pkl"))
 
@@ -97,6 +171,9 @@ def export_serving_bundle(params, body_model: ParametricModel,
         "platforms": plats,
         "config": dataclasses.asdict(cfg),
         "jax_version": jax.__version__,
+        "chunk_len": int(chunk_len),
+        "chunk_mode": ("pallas_serve" if cfg.pallas_serve else "xla_scan")
+                      if chunk_len > 0 else None,
     }
     with open(os.path.join(path, "manifest.json"), "w") as f:
         json.dump(manifest, f, indent=2)
@@ -111,6 +188,8 @@ class ServingBundle:
                  manifest: dict):
         self._step = step_fn
         self._prescan = prescan_fn
+        self._chunk = None
+        self._chunk_params = None
         self.params = params
         self.cfg = cfg
         self.manifest = manifest
@@ -139,7 +218,18 @@ class ServingBundle:
         # (and hash) equal to directly-constructed ones
         cfg_dict["conf_range"] = tuple(cfg_dict["conf_range"])
         cfg = SigMPConfig(**cfg_dict)
-        return cls(step.call, prescan.call, params, cfg, manifest)
+        bundle = cls(step.call, prescan.call, params, cfg, manifest)
+        chunk_path = os.path.join(path, "chunk.bin")
+        if manifest.get("chunk_len") and os.path.exists(chunk_path):
+            with open(chunk_path, "rb") as f:
+                bundle._chunk = jexport.deserialize(f.read()).call
+            if manifest["chunk_mode"] == "pallas_serve":
+                prepped = _bundle_prepped(params, cfg)
+                bundle._chunk_params = {k: prepped[k]
+                                        for k in ("ops", "init")}
+            else:
+                bundle._chunk_params = params
+        return bundle
 
     def reset_states(self):
         self.carry = sig_mp.init_carry(self.params)
@@ -152,3 +242,19 @@ class ServingBundle:
             self.carry = self._prescan(self.params, self.carry, frame)
         self.carry, (pose, tran) = self._step(self.params, self.carry, frame)
         return pose, tran
+
+    def forward_chunk(self, j2dc, accc, oric, gravityc=None):
+        r"""Advance exactly ``manifest["chunk_len"]`` frames in one call of
+        the exported chunk program (the fused weight-resident kernel when
+        the bundle was exported with ``cfg.pallas_serve``)."""
+        if self._chunk is None:
+            raise ValueError("bundle was exported without a chunk program "
+                             "(export_serving_bundle(chunk_len=K))")
+        K = int(self.manifest["chunk_len"])
+        frames = sig_mp._sequence_frames(j2dc, accc, oric, None, False,
+                                         gravityc)
+        if frames["j2dc"].shape[0] != K:
+            raise ValueError(f"chunk program is fixed at {K} frames")
+        self.carry, out = self._chunk(self._chunk_params, self.carry,
+                                      frames)
+        return out

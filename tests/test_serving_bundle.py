@@ -132,3 +132,30 @@ def test_live_server_runs_on_bundle(world, tmp_path):
     engine.reset()
     _, tran0 = engine.process(uv, ori, acc, rcm)
     np.testing.assert_allclose(tran0, 0.0, atol=1e-6)
+
+
+def test_chunk_export_pallas_serve(world, tmp_path):
+    r"""AOT chunk program: the whole-step weight-resident kernel exported
+    via jax.export, loaded without model code, agreeing with StreamingNet."""
+    import dataclasses
+    model, params = world
+    cfg = dataclasses.replace(SigMPConfig(), pallas_serve=True)
+    path = str(tmp_path / "bundle_chunk")
+    manifest = export_serving_bundle(params, model, cfg, path,
+                                     platforms=("cpu",), chunk_len=5)
+    assert manifest["chunk_mode"] == "pallas_serve"
+    assert os.path.exists(os.path.join(path, "chunk.bin"))
+
+    bundle = ServingBundle.load(path)
+    ref = sig_mp.StreamingNet(params, model, SigMPConfig())
+    j2, ac, orc = inputs(11, seed=5)
+    pb0, tb0 = bundle.forward_online(j2[0], ac[0], orc[0], first_frame=True)
+    pn0, tn0 = ref.forward_online(j2[0], ac[0], orc[0], first_frame=True)
+    np.testing.assert_allclose(np.asarray(pb0), np.asarray(pn0), atol=3e-4)
+    for sl in (slice(1, 6), slice(6, 11)):
+        pb, tb = bundle.forward_chunk(j2[sl], ac[sl], orc[sl])
+        pn, tn = ref.forward_chunk(j2[sl], ac[sl], orc[sl])
+        np.testing.assert_allclose(np.asarray(pb), np.asarray(pn), atol=3e-4)
+        np.testing.assert_allclose(np.asarray(tb), np.asarray(tn), atol=3e-4)
+    with pytest.raises(ValueError):
+        bundle.forward_chunk(j2[:3], ac[:3], orc[:3])
