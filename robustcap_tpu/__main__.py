@@ -157,16 +157,21 @@ def cmd_export(args):
     from robustcap_tpu.serving import export_serving_bundle
     from robustcap_tpu.smpl import default_body_model
 
+    import dataclasses
     params = _load_params(args)
     cfg = SigMPConfig.live_mode() if args.live else SigMPConfig()
     if args.int8_compute:
         params, cfg = _int8_mode(params, cfg)
+    if args.chunk_len and args.pallas_serve:
+        cfg = dataclasses.replace(cfg, pallas_serve=True)
     manifest = export_serving_bundle(
         params, default_body_model(), cfg, args.out,
         platforms=(tuple(args.platforms.split(","))
-                   if args.platforms else None))
+                   if args.platforms else None),
+        chunk_len=args.chunk_len)
     print(json.dumps({"out": args.out,
-                      "platforms": manifest["platforms"]}))
+                      "platforms": manifest["platforms"],
+                      "chunk_mode": manifest["chunk_mode"]}))
 
 
 def main(argv=None):
@@ -232,6 +237,11 @@ def main(argv=None):
                     help="live-demo flag set (conf gates, throttle)")
     px.add_argument("--int8-compute", action="store_true",
                     help="quantize weights and export the int8-MXU mode")
+    px.add_argument("--chunk-len", type=int, default=0,
+                    help="also export a K-frame chunk program")
+    px.add_argument("--pallas-serve", action="store_true",
+                    help="chunk program = the whole-step weight-resident "
+                         "kernel (ops/pallas_serve.py; platform-specific)")
     px.set_defaults(fn=cmd_export)
 
     pt = sub.add_parser("train", help="train fusion RNNs")
