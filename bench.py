@@ -238,6 +238,22 @@ def main():
             and time.perf_counter() < deadline):
         int8c_fps = guarded("int8c", run_int8c)
 
+    # exact-mode bf16 batched throughput (weights cast, f32 carry/geometry)
+    def run_batched_bf16():
+        from robustcap_tpu.nn.rnn import cast_params
+        pb = cast_params(params, jnp.bfloat16)
+        jax.block_until_ready(batched(pb, frames))
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            jax.block_until_ready(batched(pb, frames))
+        return B * T / ((time.perf_counter() - t0) / reps)
+
+    batched_bf16_fps = None
+    if (bench_dtype == "f32"
+            and os.environ.get("BENCH_BATCHED_BF16", "1") != "0"
+            and time.perf_counter() < deadline):
+        batched_bf16_fps = guarded("batched_bf16", run_batched_bf16)
+
     # -- on-device streaming step latency (B=1), RTT-free by differencing --
     # Uses the TRUE single-stream scan (forward_offline, no vmap): it
     # carries the serving-only step optimizations (fused spec-head triple,
@@ -738,6 +754,8 @@ def main():
             "smplify_refine_fps": (None if smplify_fps is None
                                    else round(smplify_fps, 1)),
             "int8c_fps": (None if int8c_fps is None else round(int8c_fps, 1)),
+            "batched_bf16_fps": (None if batched_bf16_fps is None
+                                 else round(batched_bf16_fps, 1)),
             "train_fps": ({k: round(v, 1) for k, v in train_fps.items()}
                           or None),
             "pallas": pallas,
