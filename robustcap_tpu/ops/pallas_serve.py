@@ -365,22 +365,29 @@ def _make_kernel(T, H, dtype, stream, flags, blendshape, use_imu_updater,
             dma_buf, dma_sem = take(2)
         if live:
             o4_scr, o6_scr = take(2)
-            o4_scr[:] = jnp.zeros((8, 69), f32)
-            o6_scr[:] = jnp.zeros((8, 3), f32)
 
         consts = {k: r[:] for k, r in zip(_TAIL_CONST_KEYS, tc_refs)}
         consts["pd"] = pd_ref  # stays a ref (static leading-index loads)
 
-        h512_s[:] = h512_r[:]
-        c512_s[:] = c512_r[:]
-        h4_s[:] = h4_r[:]
-        c4_s[:] = c4_r[:]
-        h6_s[:] = h6_r[:]
-        c6_s[:] = c6_r[:]
-        cmisc_s[:] = cmisc_r[:]
-        fbuf_s[:] = fbuf_r[:]
-        jtemp_s[:] = jtemp_r[:]
-        lpfoot_s[:] = lpfoot_r[:]
+        # one grid step per frame; the carry lives in scratch, which
+        # persists across sequential TPU grid iterations
+        t = pl.program_id(0)
+
+        @pl.when(t == 0)
+        def _seed_carry():
+            h512_s[:] = h512_r[:]
+            c512_s[:] = c512_r[:]
+            h4_s[:] = h4_r[:]
+            c4_s[:] = c4_r[:]
+            h6_s[:] = h6_r[:]
+            c6_s[:] = c6_r[:]
+            cmisc_s[:] = cmisc_r[:]
+            fbuf_s[:] = fbuf_r[:]
+            jtemp_s[:] = jtemp_r[:]
+            lpfoot_s[:] = lpfoot_r[:]
+            if live:
+                o4_scr[:] = jnp.zeros((8, 69), f32)
+                o6_scr[:] = jnp.zeros((8, 3), f32)
 
         def state_scr(name):
             if name == "rnn4":
@@ -496,19 +503,19 @@ def _make_kernel(T, H, dtype, stream, flags, blendshape, use_imu_updater,
         streamed_order = [n for n in exec_order if n in stream]
         prefetched = (streamed_order[0], 0) if streamed_order else None
 
-        def body(t, _):
-            fm = fmisc_r[pl.ds(t * 8, 8), :][0:1, :]            # [1, 16]
+        def body():
+            fm = fmisc_r[0:1, :]                                # [1, 16]
             c = fm[:, 0:1]
             k_lerp = fm[:, 1:2]
             ff = fm[:, 2:3]                                     # first_frame
             ftv = fm[:, 3:4]                                    # first_tran_valid
             ftran = fm[:, 8:11]
             grav = fm[:, 11:14]
-            in2 = in2_r[pl.ds(t * 8, 8), :]                     # [8, 72]
-            raw72 = raw72_r[pl.ds(t * 8, 8), :]
-            j2n99 = j2n_r[pl.ds(t * 8, 8), :]                   # [8, 99]
-            j2r99 = j2r_r[pl.ds(t * 8, 8), :]
-            rcr = rcr_r[pl.ds(t * 8, 8), :][0:1, :]             # [1, 9]
+            in2 = in2_r[:]                                      # [8, 72]
+            raw72 = raw72_r[:]
+            j2n99 = j2n_r[:]                                    # [8, 99]
+            j2r99 = j2r_r[:]
+            rcr = rcr_r[0:1, :]                                 # [1, 9]
 
             cm = cmisc_s[0:1, :]                                # [1, 16]
             has_pfoot, has_tran = cm[:, 0:1], cm[:, 1:2]
@@ -680,23 +687,25 @@ def _make_kernel(T, H, dtype, stream, flags, blendshape, use_imu_updater,
             jtemp_s[:] = Tf["j_temp"]
             lpfoot_s[:] = Tf["pfoot"]
 
-            pose_o[pl.ds(t * 24, 24), :] = Tf["pose"]
+            pose_o[:] = Tf["pose"]
             aux = jnp.concatenate(
                 [Tf["tran"], Tf["contact"], jnp.zeros((1, 11), f32)], axis=1)
-            aux_o[pl.ds(t * 8, 8), :] = jnp.broadcast_to(aux, (8, 16))
-            return 0
+            aux_o[:] = jnp.broadcast_to(aux, (8, 16))
 
-        jax.lax.fori_loop(0, T, body, 0)
-        h512_o[:] = h512_s[:]
-        c512_o[:] = c512_s[:]
-        h4_o[:] = h4_s[:]
-        c4_o[:] = c4_s[:]
-        h6_o[:] = h6_s[:]
-        c6_o[:] = c6_s[:]
-        cmisc_o[:] = cmisc_s[:]
-        fbuf_o[:] = fbuf_s[:]
-        jtemp_o[:] = jtemp_s[:]
-        lpfoot_o[:] = lpfoot_s[:]
+        body()
+
+        @pl.when(t == T - 1)
+        def _emit_final_carry():
+            h512_o[:] = h512_s[:]
+            c512_o[:] = c512_s[:]
+            h4_o[:] = h4_s[:]
+            c4_o[:] = c4_s[:]
+            h6_o[:] = h6_s[:]
+            c6_o[:] = c6_s[:]
+            cmisc_o[:] = cmisc_s[:]
+            fbuf_o[:] = fbuf_s[:]
+            jtemp_o[:] = jtemp_s[:]
+            lpfoot_o[:] = lpfoot_s[:]
 
     return kernel
 
@@ -814,6 +823,9 @@ def serve_scan(prepped, body_model, cfg, frames, carry, interpret=None):
     if use_imu_updater:
         operands += prepped["init"]
         in_specs += [pl.BlockSpec(memory_space=pltpu.VMEM)] * 6
+    # frame streams are grid-blocked: one [8, L] slot per grid step rides
+    # the pipeline (double-buffered KBs) instead of the whole [8T, L]
+    # array sitting in VMEM — chunk length no longer affects the budget
     frame_ops = [_rep8(in2.reshape(T, 72)).reshape(8 * T, 72),
                  _rep8(raw72).reshape(8 * T, 72),
                  _rep8(j2n99).reshape(8 * T, 99),
@@ -821,7 +833,8 @@ def serve_scan(prepped, body_model, cfg, frames, carry, interpret=None):
                  _rep8(rcr9).reshape(8 * T, 9),
                  _rep8(fmisc).reshape(8 * T, 16)]
     operands += frame_ops
-    in_specs += [pl.BlockSpec(memory_space=pltpu.VMEM)] * 6
+    in_specs += [pl.BlockSpec((8, arr.shape[1]), lambda t: (t, 0))
+                 for arr in frame_ops]
     carry_ops = [cmisc, carry["floor_buf"].astype(f32),
                  carry["j_temp"].astype(f32),
                  carry["last_pfoot"].astype(f32), o4f,
@@ -871,6 +884,9 @@ def serve_scan(prepped, body_model, cfg, frames, carry, interpret=None):
     vmem_bytes = sum(
         int(np.prod(x.shape)) * x.dtype.itemsize for x in operands
         if not isinstance(x, pl.BlockSpec))
+    # grid-blocked frame streams occupy 2 slots each, not the full [8T, L]
+    vmem_bytes -= sum(int(np.prod(a.shape)) * 4 for a in frame_ops)
+    vmem_bytes += sum(2 * 8 * a.shape[1] * 4 for a in frame_ops)
     # streamed gate matrices live in HBM; subtract them, add the buffer
     for name in () if int8 else stream:
         vmem_bytes -= int(np.prod(ops[name]["wfs"].shape)) \
@@ -878,15 +894,20 @@ def serve_scan(prepped, body_model, cfg, frames, carry, interpret=None):
     if stream:
         Hbuf = max(H[n] for n in stream)
         vmem_bytes += 2 * Hbuf * 4 * Hbuf * jnp.dtype(dtype).itemsize
-    vmem_bytes += sum(int(np.prod(s.shape)) * 4 for s in out_shape)
+    vmem_bytes += sum(int(np.prod(s.shape)) * 4 for s in out_shape[2:])
+    vmem_bytes += 2 * (24 * 9 + 8 * 16) * 4  # pose/aux block slots
     vmem_limit = max(32 * 2 ** 20, int(vmem_bytes * 1.2))
 
+    out_specs = (pl.BlockSpec((24, 9), lambda t: (t, 0)),   # pose frame t
+                 pl.BlockSpec((8, 16), lambda t: (t, 0)))    # aux frame t
+    out_specs += tuple(pl.BlockSpec(memory_space=pltpu.VMEM)
+                       for _ in out_shape[2:])
     outs = pl.pallas_call(
         kern,
+        grid=(T,),
         out_shape=out_shape,
         in_specs=in_specs,
-        out_specs=tuple(pl.BlockSpec(memory_space=pltpu.VMEM)
-                        for _ in out_shape),
+        out_specs=out_specs,
         scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=vmem_limit),
         interpret=interpret,
