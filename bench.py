@@ -358,10 +358,9 @@ def main():
         from robustcap_tpu.nn.rnn import cast_params
         from robustcap_tpu.ops.pallas_serve import (prepare_serve_params,
                                                     serve_scan)
-        # shorter chunks than the XLA differencing: the replicated frame
-        # arrays + outputs of a 2K=480-frame chunk would push the resident
-        # kernel past the 128 MiB VMEM budget
-        Ks = min(int(os.environ.get("BENCH_SERVE_FRAMES", 96)), T // 2)
+        # the grid-pipelined kernel's VMEM use is chunk-length-independent,
+        # so the serve differencing can use the full K-frame chunks
+        Ks = min(int(os.environ.get("BENCH_SERVE_FRAMES", K)), T // 2)
         sv_one, sv_two = frames1(Ks), frames1(2 * Ks)
         pb = cast_params(params, jnp.bfloat16)
         prepped = prepare_serve_params(pb, dtype=jnp.bfloat16)
