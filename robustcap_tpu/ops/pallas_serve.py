@@ -247,12 +247,19 @@ def prepare_serve_params(params, dtype=jnp.bfloat16, stream=None,
 # ---------------------------------------------------------------------------
 
 
+def _fiota(shape, dim):
+    r"""Float iota via int32: Mosaic's ``tpu.iota`` rejects float result
+    types on the real chip (interpret mode accepts them), so build the
+    index grid in int32 and cast."""
+    return jax.lax.broadcasted_iota(jnp.int32, shape, dim).astype(jnp.float32)
+
+
 def _flat_cmajor(rows, n):
     r"""[n, 3] row-vectors -> [1, 3n] coordinate-major lanes, via diag-mask
     reductions (no cross-tile reshape)."""
     f32 = jnp.float32
-    diag = (jax.lax.broadcasted_iota(f32, (n, n), 0)
-            == jax.lax.broadcasted_iota(f32, (n, n), 1)).astype(f32)
+    diag = (_fiota((n, n), 0)
+            == _fiota((n, n), 1)).astype(f32)
     ones = jnp.ones((1, n), f32)
     cols = [jnp.dot(ones, rows[:, c:c + 1] * diag,
                     preferred_element_type=f32) for c in range(3)]
@@ -263,10 +270,10 @@ def _unflatten_r6d(x144):
     r"""[1, 144] i-major head output -> [24, 6] r6d rows."""
     f32 = jnp.float32
     X = jnp.broadcast_to(x144, (24, 144))
-    D = (jax.lax.broadcasted_iota(f32, (24, 144), 1) // 6.0
-         == jax.lax.broadcasted_iota(f32, (24, 144), 0)).astype(f32)
-    C = (jax.lax.broadcasted_iota(f32, (144, 6), 0) % 6.0
-         == jax.lax.broadcasted_iota(f32, (144, 6), 1)).astype(f32)
+    D = (_fiota((24, 144), 1) // 6.0
+         == _fiota((24, 144), 0)).astype(f32)
+    C = (_fiota((144, 6), 0) % 6.0
+         == _fiota((144, 6), 1)).astype(f32)
     return jnp.dot(X * D, C, preferred_element_type=f32)
 
 
@@ -288,7 +295,7 @@ def _bbox_norm99(j99):
     dv = jnp.max(y, axis=1, keepdims=True) - jnp.min(y, axis=1, keepdims=True)
     scale = jnp.maximum(jnp.maximum(du, dv), 1e-6)
     xs, ys = x / scale, y / scale
-    e23 = (jax.lax.broadcasted_iota(f32, (1, 33), 1) == 23.0)
+    e23 = (_fiota((1, 33), 1) == 23.0)
     cx = jnp.sum(jnp.where(e23, xs, 0.0), axis=1, keepdims=True)
     cy = jnp.sum(jnp.where(e23, ys, 0.0), axis=1, keepdims=True)
     xo = jnp.where(e23, xs, xs - cx)
@@ -299,9 +306,9 @@ def _bbox_norm99(j99):
 def _shift_minus_root(joint):
     r"""joint[1:] - joint[0] as constant matmuls -> [23, 3]."""
     f32 = jnp.float32
-    S = (jax.lax.broadcasted_iota(f32, (23, 24), 1)
-         == jax.lax.broadcasted_iota(f32, (23, 24), 0) + 1.0).astype(f32)
-    R0 = (jax.lax.broadcasted_iota(f32, (23, 24), 1) == 0.0).astype(f32)
+    S = (_fiota((23, 24), 1)
+         == _fiota((23, 24), 0) + 1.0).astype(f32)
+    R0 = (_fiota((23, 24), 1) == 0.0).astype(f32)
     return (jnp.dot(S, joint, preferred_element_type=f32)
             - jnp.dot(R0, joint, preferred_element_type=f32))
 

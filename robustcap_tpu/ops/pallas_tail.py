@@ -49,6 +49,13 @@ __all__ = ["tail_constants", "geometry_tail", "tail_math"]
 _EPS = 1e-8  # math/angular.py::_EPS — the guarded Gram-Schmidt epsilon
 
 
+def _fiota(shape, dim):
+    r"""Float iota via int32: Mosaic's ``tpu.iota`` rejects float result
+    types on the real chip (interpret mode accepts them), so build the
+    index grid in int32 and cast."""
+    return jax.lax.broadcasted_iota(jnp.int32, shape, dim).astype(jnp.float32)
+
+
 # ---------------------------------------------------------------------------
 # Flat-[N, 9] 3x3 algebra (row-major: lane 3*r + c holds element [r, c])
 # ---------------------------------------------------------------------------
@@ -178,7 +185,7 @@ def tail_math(inp, consts, *, conf_hi, contact_threshold, distance_threshold,
     # -- translation from contacts / network velocity (sig_mp.py:186-194)
     v_net = _m3vec(rcr, inp["vr"]) * (VEL_SCALE / 60.0)         # [1, 3]
     d_foot = inp["last_pfoot"] - pfoot                          # [2, 3]
-    io2 = jax.lax.broadcasted_iota(jnp.float32, (2, 1), 0)
+    io2 = _fiota((2, 1), 0)
     d0 = jnp.sum(d_foot * (io2 == 0.0).astype(jnp.float32), axis=0,
                  keepdims=True)
     d1 = jnp.sum(d_foot * (io2 == 1.0).astype(jnp.float32), axis=0,
@@ -214,7 +221,7 @@ def tail_math(inp, consts, *, conf_hi, contact_threshold, distance_threshold,
         append = ((floor_cnt < 11.0) & (first_frame < 0.5)
                   & (first_tran_valid < 0.5) & (cmax > contact_threshold)
                   & (c_s >= conf_hi))
-        io11 = jax.lax.broadcasted_iota(jnp.float32, (11, 1), 0)
+        io11 = _fiota((11, 1), 0)
         slot = (io11 == floor_cnt) & append
         fbuf = jnp.where(slot, lower, fbuf)
         floor_cnt = floor_cnt + append.astype(jnp.float32)
