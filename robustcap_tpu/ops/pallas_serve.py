@@ -254,6 +254,18 @@ def _fiota(shape, dim):
     return jax.lax.broadcasted_iota(jnp.int32, shape, dim).astype(jnp.float32)
 
 
+def _scal(cond):
+    r"""[1, 1] mask -> scalar. On-chip Mosaic cannot broadcast a vector
+    sliced from a larger one (layout ``{0,0}``) in both sublanes and lanes
+    at once ("Broadcast in both sublanes and lanes", the round-3 on-chip
+    compile failure — interpret mode and freshly-created [1,1] vectors with
+    replicated layout both accept it). Extracting the scalar makes every
+    downstream ``jnp.where``/multiply a splat, which is always
+    implemented. (Scalar extraction needs a 32-bit element type, hence the
+    f32 round-trip for the bool mask.)"""
+    return cond.astype(jnp.float32)[0, 0] > 0.5
+
+
 def _flat_cmajor(rows, n):
     r"""[n, 3] row-vectors -> [1, 3n] coordinate-major lanes, via diag-mask
     reductions (no cross-tile reshape)."""
@@ -405,7 +417,8 @@ def _make_kernel(T, H, dtype, stream, flags, blendshape, use_imu_updater,
 
         def cells(name, y, commit, Hn):
             r"""Run the 2 LSTM layers of ``name`` on [8, Hn] input ``y``;
-            write states back under ``commit`` ([1,1] mask or None=always).
+            write states back under ``commit`` ([1,1] mask, None=always,
+            False=never — speculative eval, state writes skipped).
             Returns the top hidden. Streamed stacks DMA each fused gate
             matrix into the shared buffer first."""
             st = stacks[name]
@@ -432,12 +445,19 @@ def _make_kernel(T, H, dtype, stream, flags, blendshape, use_imu_updater,
                                   ).astype(f32) * sh
                           * st["whh_s"][l:l + 1, :]).astype(bf16)
                     z = zx + zh + st["bfs"][l:l + 1, :].astype(bf16)
-                    i = jax.nn.sigmoid(z[:, :Hn])
-                    f = jax.nn.sigmoid(z[:, Hn:2 * Hn])
-                    g = jnp.tanh(z[:, 2 * Hn:3 * Hn])
-                    o = jax.nn.sigmoid(z[:, 3 * Hn:])
+                    # transcendentals run f32 + round back to bf16: on-chip
+                    # Mosaic's bf16 logistic/tanh lowering emits an invalid
+                    # mixed-type vector.broadcast (verifier failure), and
+                    # XLA's own bf16 transcendentals are f32-internal with
+                    # bf16 rounding, so the value set is identical
+                    zf = z.astype(f32)
+                    i = jax.nn.sigmoid(zf[:, :Hn]).astype(bf16)
+                    f = jax.nn.sigmoid(zf[:, Hn:2 * Hn]).astype(bf16)
+                    g = jnp.tanh(zf[:, 2 * Hn:3 * Hn]).astype(bf16)
+                    o = jax.nn.sigmoid(zf[:, 3 * Hn:]).astype(bf16)
                     c_new = (f * c_.astype(bf16) + i * g).astype(f32)
-                    h_new = (o * jnp.tanh(c_new.astype(bf16))).astype(f32)
+                    h_new = (o * jnp.tanh(c_new.astype(bf16).astype(f32))
+                             .astype(bf16)).astype(f32)
                 else:
                     if streamed:
                         dma = pltpu.make_async_copy(
@@ -466,13 +486,15 @@ def _make_kernel(T, H, dtype, stream, flags, blendshape, use_imu_updater,
                     o = jax.nn.sigmoid(z[:, 3 * Hn:])
                     c_new = f * c_ + i * g
                     h_new = o * jnp.tanh(c_new)
-                if commit is not None:
-                    h_new_w = jnp.where(commit, h_new, h)
-                    c_new_w = jnp.where(commit, c_new, c_)
-                else:
-                    h_new_w, c_new_w = h_new, c_new
-                h_s[pl.ds(off + l * 8, 8), :] = h_new_w
-                c_s_[pl.ds(off + l * 8, 8), :] = c_new_w
+                if commit is not False:
+                    if commit is not None:
+                        m = _scal(commit)
+                        h_new_w = jnp.where(m, h_new, h)
+                        c_new_w = jnp.where(m, c_new, c_)
+                    else:
+                        h_new_w, c_new_w = h_new, c_new
+                    h_s[pl.ds(off + l * 8, 8), :] = h_new_w
+                    c_s_[pl.ds(off + l * 8, 8), :] = c_new_w
                 out = h_new
             return out
 
@@ -556,7 +578,7 @@ def _make_kernel(T, H, dtype, stream, flags, blendshape, use_imu_updater,
                         dma_buf.at[0:2 * Hp, 0:4 * Hp], dma_sem).start()
 
                 if live:
-                    pl.when(need46[0, 0])(_start_prefetch)
+                    pl.when(_scal(need46))(_start_prefetch)
                 else:
                     _start_prefetch()
 
@@ -572,8 +594,8 @@ def _make_kernel(T, H, dtype, stream, flags, blendshape, use_imu_updater,
             y7s = lin1("rnn7", [in2, out2])
             y8s = lin1("rnn8", [in2, out2])
             # spec head cells read the scratch state WITHOUT committing
-            top7s = cells("rnn7", y7s, jnp.zeros((1, 1), f32) > 0.5, H2)
-            top8s = cells("rnn8", y8s, jnp.zeros((1, 1), f32) > 0.5, H2)
+            top7s = cells("rnn7", y7s, False, H2)
+            top8s = cells("rnn8", y8s, False, H2)
             out7s = head_out("rnn7", top7s)[0:1, :]             # [1, 144]
             out8s = head_out("rnn8", top8s)[0:1, :]             # [1, 2]
 
@@ -605,14 +627,16 @@ def _make_kernel(T, H, dtype, stream, flags, blendshape, use_imu_updater,
             m4 = (conf_vis & (ff < 0.5)) | vu
 
             def _rnn4_out():
-                sel99 = jnp.where(vu, jnp.broadcast_to(j2syn_n99, (8, 99)),
-                                  j2n99)
+                # scalar-cond select at [1, 99], THEN a sublane-only
+                # replicate — Mosaic can't broadcast both dims in one op
+                sel99 = jnp.broadcast_to(
+                    jnp.where(_scal(vu), j2syn_n99, j2n99[0:1, :]), (8, 99))
                 y4 = lin1("rnn4", [raw72, sel99])
                 top4 = cells("rnn4", y4, m4, H4)
                 return head_out("rnn4", top4)
 
             if live:
-                @pl.when(need46[0, 0])
+                @pl.when(_scal(need46))
                 def _run4():
                     o4_scr[:] = _rnn4_out()
                 out4 = o4_scr[0:1, :]
@@ -630,16 +654,16 @@ def _make_kernel(T, H, dtype, stream, flags, blendshape, use_imu_updater,
             m6 = conf_vis | vu
 
             def _rnn6_out():
-                sel99r = jnp.where(vu, jnp.broadcast_to(j2syn99, (8, 99)),
-                                   j2r99)
-                sel69 = jnp.where(vu, jnp.broadcast_to(j3syn69, (8, 69)),
-                                  jnp.broadcast_to(out4_eff, (8, 69)))
+                sel99r = jnp.broadcast_to(
+                    jnp.where(_scal(vu), j2syn99, j2r99[0:1, :]), (8, 99))
+                sel69 = jnp.broadcast_to(
+                    jnp.where(_scal(vu), j3syn69, out4_eff), (8, 69))
                 y6 = lin1("rnn6", [raw72, sel99r, sel69])
                 top6 = cells("rnn6", y6, m6, H6)
                 return head_out("rnn6", top6)
 
             if live:
-                @pl.when(need46[0, 0])
+                @pl.when(_scal(need46))
                 def _run6():
                     o6_scr[:] = _rnn6_out()
                 out6 = o6_scr[0:1, :]
@@ -672,14 +696,15 @@ def _make_kernel(T, H, dtype, stream, flags, blendshape, use_imu_updater,
                                 0.0)
                 x = jnp.dot(x, wi2,
                             preferred_element_type=f32) + bi2   # [1, 4*H2]
+                iu8 = _scal(iu)
                 for l in range(2):
                     h_i = jnp.broadcast_to(x[:, l * H2:(l + 1) * H2],
                                            (8, H2))
                     c_i = jnp.broadcast_to(x[:, (2 + l) * H2:(3 + l) * H2],
                                            (8, H2))
                     row = pl.ds(l * 8, 8)
-                    h512_s[row, :] = jnp.where(iu, h_i, h512_s[row, :])
-                    c512_s[row, :] = jnp.where(iu, c_i, c512_s[row, :])
+                    h512_s[row, :] = jnp.where(iu8, h_i, h512_s[row, :])
+                    c512_s[row, :] = jnp.where(iu8, c_i, c512_s[row, :])
                 new_first_reach = jnp.where(c >= conf_hi,
                                             jnp.zeros_like(first_reach),
                                             first_reach)

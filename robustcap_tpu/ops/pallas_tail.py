@@ -277,7 +277,10 @@ def tail_math(inp, consts, *, conf_hi, contact_threshold, distance_threshold,
                                preferred_element_type=jnp.float32)
         j_computed = jnp.where(msync > 0.5, j_from_joint, verts)
         if live:
-            fk_now = vision_count == 0.0
+            # scalar cond: on-chip Mosaic can't broadcast a sliced [1,1]
+            # vector in both sublanes and lanes at once (splat-from-scalar
+            # is always implemented)
+            fk_now = vision_count[0, 0] == 0.0
             j_lm = jnp.where(fk_now, j_computed, j_temp)
             j_temp = j_lm
             vision_count = jnp.where(fk_now, float(update_vision_freq),

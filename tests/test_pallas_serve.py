@@ -245,9 +245,13 @@ class TestInt8Gates:
         r"""int8-resident gate mode vs the XLA int8c branchless scan (the
         approximate serving mode's own oracle). Exact matching of the
         dynamic activation quantization is rounding-sensitive (bf16 sums
-        reach the quantizer through different partial-sum orders), so the
-        tolerance is looser than f32 — but far tighter than the int8c
-        mode's own deviation from f32 (docs/PERFORMANCE.md)."""
+        reach the quantizer through different partial-sum orders; and the
+        kernel computes its gate transcendentals as round_bf16(f(x_f32)) —
+        required for on-chip Mosaic compilability and identical to XLA:TPU's
+        f32-internal bf16 transcendentals, but ~1 bf16 ulp off XLA:CPU's,
+        which is what this interpret-mode oracle runs on), so the tolerance
+        is looser than f32 — but far tighter than the int8c mode's own
+        deviation from f32 (docs/PERFORMANCE.md)."""
         from robustcap_tpu.nn.rnn import quantize_params
         model, params = setup
         qp = quantize_params(params)
@@ -268,9 +272,9 @@ class TestInt8Gates:
         pose_s, tran_s, _, _ = serve_scan(prepped, model, cfg8, frames,
                                           carry0)
         np.testing.assert_allclose(np.asarray(pose_s), np.asarray(pose_x),
-                                   atol=3e-2, rtol=0)
+                                   atol=6e-2, rtol=0)
         np.testing.assert_allclose(np.asarray(tran_s), np.asarray(tran_x),
-                                   atol=3e-2, rtol=0)
+                                   atol=6e-2, rtol=0)
         # and it must stay close to the exact f32 trajectory (quality bound
         # of the int8c contract, tests/test_quantization.py)
         carry_f, (pose_f, tran_f, _) = _run_xla(params, model,
