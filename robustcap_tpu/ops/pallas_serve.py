@@ -59,7 +59,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .pallas_tail import tail_constants, tail_math
+from .pallas_tail import _fiota, tail_constants, tail_math
 
 __all__ = ["prepare_serve_params", "serve_scan", "serve_vmem_plan"]
 
@@ -245,13 +245,6 @@ def prepare_serve_params(params, dtype=jnp.bfloat16, stream=None,
 # ---------------------------------------------------------------------------
 # Kernel-side layout helpers (Mosaic-safe)
 # ---------------------------------------------------------------------------
-
-
-def _fiota(shape, dim):
-    r"""Float iota via int32: Mosaic's ``tpu.iota`` rejects float result
-    types on the real chip (interpret mode accepts them), so build the
-    index grid in int32 and cast."""
-    return jax.lax.broadcasted_iota(jnp.int32, shape, dim).astype(jnp.float32)
 
 
 def _scal(cond):
