@@ -68,6 +68,24 @@ QUICK_MODULES = {
     "test_streaming",
 }
 
+# ---------------------------------------------------------------------------
+# Core verification tier: `pytest -m core` (VERDICT r3 item 6).
+#
+# The strongest per-round evidence at a budget a degraded (1-vCPU) host can
+# actually complete: the torch-reference cross-parity of the flagship step,
+# the regenerable golden fixture + explicit-branching oracle, and the Pallas
+# serving-kernel agreement suites (CPU interpret mode). Measured wall time
+# at 1 vCPU: see docs/PERFORMANCE.md "Verification tiers".
+# `tools/run_suite_sharded.sh --core` runs the same set process-isolated.
+# ---------------------------------------------------------------------------
+CORE_MODULES = {
+    "test_sig_mp_step",
+    "test_golden",
+    "test_reference_parity",
+    "test_pallas_tail",
+    "test_pallas_serve",
+}
+
 
 def pytest_collection_modifyitems(config, items):
     import pytest
@@ -75,6 +93,8 @@ def pytest_collection_modifyitems(config, items):
     for item in items:
         if item.module.__name__ in QUICK_MODULES:
             item.add_marker(pytest.mark.quick)
+        if item.module.__name__ in CORE_MODULES:
+            item.add_marker(pytest.mark.core)
 
 
 _cache_dir = os.path.join(os.path.dirname(__file__), ".jax_cache")

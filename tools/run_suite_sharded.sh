@@ -7,19 +7,23 @@
 # process — see CLAUDE.md). Process isolation trades startup overhead for
 # immunity to that corruption.
 #
-# Usage: tools/run_suite_sharded.sh [--quick] [extra pytest args...]
+# Usage: tools/run_suite_sharded.sh [--quick|--core] [extra pytest args...]
 #   --quick  run only the quick smoke tier (tests/conftest.py QUICK_MODULES)
+#   --core   run only the core verification tier (conftest.py CORE_MODULES)
 set -u
 cd "$(dirname "$0")/.."
 modules=(tests/test_*.py)
-if [ "${1:-}" = "--quick" ]; then
+if [ "${1:-}" = "--quick" ] || [ "${1:-}" = "--core" ]; then
+  tier="${1#--}"
   shift
-  mapfile -t modules < <(python - <<'EOF'
+  mapfile -t modules < <(TIER="$tier" python - <<'EOF'
 import sys; sys.path.insert(0, "tests")
 # conftest imports jax; keep that off the TPU tunnel for this listing
 import os; os.environ["JAX_PLATFORMS"] = "cpu"
-from conftest import QUICK_MODULES
-for m in sorted(QUICK_MODULES):
+import conftest
+names = (conftest.QUICK_MODULES if os.environ["TIER"] == "quick"
+         else conftest.CORE_MODULES)
+for m in sorted(names):
     import os.path
     p = f"tests/{m}.py"
     if os.path.exists(p):
