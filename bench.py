@@ -33,6 +33,64 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import jax
 import jax.numpy as jnp
 
+# Pinned healthy-host baseline (VERDICT r3 item 5): the reference's torch-CPU
+# ``Net.forward_online`` measured 14.76 FPS in BENCH_r02 on the last healthy
+# multi-core host (protocol: _measure_reference_cpu_fps below — 40 frames,
+# full-size net, random weights, this repo's fixture inputs). ``vs_baseline``
+# divides by this fixed point so the headline multiplier stops moving when
+# the VM degrades; ``extra.vs_baseline_live`` reports the same-run
+# measurement against ``extra.baseline_fps_live``.
+PINNED_BASELINE_FPS = 14.76
+
+# On-chip kernel-parity acceptance bounds (VERDICT r3 item 4), asserted by
+# _bound_parity below — exceeding one fails the SECTION (recorded in
+# extra.section_errors), not the bench. Calibrated from measured on-chip
+# drift at the default K=240-frame chunks (docs/PERFORMANCE.md "On-chip
+# parity bounds"): the fused kernels share math but not accumulation order
+# with the XLA step, and per-frame rounding (MXU bf16-input matmuls)
+# compounds through the recurrent carry. Bounds sit ~4x above the observed
+# values so regressions trip them while routine drift does not.
+TAIL_POSE_P50_BOUND = 0.02    # f32 tail kernel vs XLA f32 tail
+TAIL_TRAN_BOUND = 0.02
+SERVE_POSE_P50_BOUND = 0.08   # bf16 serve kernel vs XLA bf16 scan
+SERVE_TRAN_BOUND = 0.02
+INT8_TRAN_BOUND = 0.1         # int8-resident serve vs bf16 XLA scan
+
+
+def _parity_metrics(pose_a, tran_a, pose_b, tran_b):
+    r"""Robust on-device parity summary between two (pose [T,24,3,3],
+    tran [T,3]) trajectories. The pose MAX is dominated by r6d->R
+    orthonormalization blow-ups on near-degenerate frames (random weights
+    produce ill-conditioned r6d outputs; docs/PERFORMANCE.md), so the
+    asserted bound uses the per-frame MEDIAN plus the translation max —
+    translation integrates every gate/branch decision, so a semantic
+    divergence (a flipped branch) shows up there immediately."""
+    dp = jnp.abs(pose_a - pose_b).max(axis=(1, 2, 3))
+    return {
+        "pose_frame_p50_max_abs_diff": round(
+            float(jnp.percentile(dp, 50)), 6),
+        "pose_max_abs_diff": round(float(dp.max()), 6),
+        "tran_max_abs_diff": round(
+            float(jnp.abs(tran_a - tran_b).max()), 6),
+    }
+
+
+def _bound_parity(metrics, pose_p50_bound, tran_bound):
+    r"""Assert the acceptance bound on a parity summary (VERDICT r3 item 4):
+    records the bound in the metrics and returns an error string (section
+    failure) when exceeded, None when within bounds."""
+    metrics["bounds"] = {"pose_frame_p50": pose_p50_bound,
+                         "tran_max": tran_bound}
+    ok = (metrics["pose_frame_p50_max_abs_diff"] <= pose_p50_bound
+          and metrics["tran_max_abs_diff"] <= tran_bound)
+    metrics["parity_ok"] = ok
+    if not ok:
+        return (f"parity bound exceeded: pose_p50="
+                f"{metrics['pose_frame_p50_max_abs_diff']} "
+                f"(bound {pose_p50_bound}), tran_max="
+                f"{metrics['tran_max_abs_diff']} (bound {tran_bound})")
+    return None
+
 
 def _measure_reference_cpu_fps(j2dc, accc, oric, n_frames=40):
     r"""Run the real torch reference Net.forward_online on this host's CPU
@@ -284,6 +342,132 @@ def main():
         per_step.append((t2 - t1) / K * 1e3)
     device_p50_ms = float(np.percentile(per_step, 50))
 
+    # -- AOT serving bundle on the real backend (VERDICT r2 item 6) --------
+    # Runs RIGHT AFTER the two core measurements, BEFORE every optional
+    # perf section (VERDICT r3 item 2: in round 3 this section ran last and
+    # was starved down to its 30 s floor by the sections before it, while
+    # the export itself needs ~65 s) — and its budget floor is 120 s.
+    # Export runs in a SUBPROCESS under a hard timeout: tpu-platform
+    # jax.export lowering through the tunneled backend is a documented
+    # hang hazard (docs/PERFORMANCE.md) — this either proves it fixed or
+    # pins the reproduction, every round. On success the parent loads the
+    # artifact and executes frames on the chip (the load+run path).
+    def run_bundle():
+        import subprocess
+        import tempfile
+
+        def export_sub(bdir, extra_kwargs, budget):
+            script = (
+                "import sys; sys.path.insert(0, %r)\n"
+                "import jax\n"
+                "from robustcap_tpu.config import SigMPConfig\n"
+                "from robustcap_tpu.models import sig_mp\n"
+                "from robustcap_tpu.smpl import ParametricModel, "
+                "synthetic_smpl_data\n"
+                "from robustcap_tpu.serving import export_serving_bundle\n"
+                "model = ParametricModel(data=synthetic_smpl_data())\n"
+                "params = sig_mp.init_params(jax.random.PRNGKey(0))\n"
+                "%s"
+                "m = export_serving_bundle(params, model, SigMPConfig(%s),"
+                " %r, platforms=('tpu',)%s)\n"
+                "print('EXPORTED', m['platforms'])\n"
+            ) % (os.path.dirname(os.path.abspath(__file__)),
+                 extra_kwargs.get("pre", ""),
+                 extra_kwargs.get("cfg", ""), bdir,
+                 extra_kwargs.get("kw", ""))
+            t0 = time.perf_counter()
+            try:
+                proc = subprocess.run([sys.executable, "-c", script],
+                                      capture_output=True, text=True,
+                                      timeout=budget)
+                ok = proc.returncode == 0
+                reason = None if ok else proc.stderr[-400:]
+            except subprocess.TimeoutExpired:
+                ok, reason = False, (
+                    f"tpu-platform export lowering exceeded {budget:.0f}s "
+                    "(pinned hazard: hangs through the tunneled backend)")
+            return ok, reason, time.perf_counter() - t0
+
+        bdir = tempfile.mkdtemp(prefix="rc_bundle_")
+        export_ok, reason, export_s = export_sub(
+            bdir, {}, min(300.0, max(120.0, deadline - time.perf_counter())))
+        bundle = {"export_ok": export_ok,
+                  "export_seconds": round(export_s, 1),
+                  "reason": reason}
+        if export_ok:
+            try:
+                from robustcap_tpu.serving import ServingBundle
+                sb = ServingBundle.load(bdir)
+                sb.forward_online(j2dc[0, 0], accc[0, 0], oric[0, 0],
+                                  first_tran=np.zeros(3, np.float32),
+                                  first_frame=True)
+                lat = []
+                for t in range(1, 20):
+                    s = time.perf_counter()
+                    _, tr = sb.forward_online(j2dc[0, t % T], accc[0, t % T],
+                                              oric[0, t % T])
+                    jax.block_until_ready(tr)
+                    lat.append(time.perf_counter() - s)
+                bundle["load_run_ok"] = True
+                bundle["dispatch_p50_ms"] = round(
+                    float(np.percentile(lat, 50) * 1e3), 3)
+            except Exception as e:  # noqa: BLE001 - report, don't die
+                bundle["load_run_ok"] = False
+                bundle["reason"] = f"{type(e).__name__}: {e}"[:400]
+
+        # the --pallas-serve chunk-artifact variant (VERDICT r3 item 2):
+        # the K-frame whole-step weight-resident kernel as a serialized
+        # Mosaic custom call inside the exported chunk program
+        Kc = int(os.environ.get("BENCH_BUNDLE_CHUNK", 240))
+        if (export_ok and os.environ.get("BENCH_BUNDLE_SERVE", "1") != "0"
+                and deadline - time.perf_counter() > 60):
+            cdir = tempfile.mkdtemp(prefix="rc_bundle_serve_")
+            # serving dtype: the weight-resident kernel runs bf16 (the f32
+            # bank would double the VMEM plan) — cast before export so the
+            # bundle's weights.pkl rebuilds the bf16 operand bank
+            ok_c, reason_c, export_s_c = export_sub(
+                cdir, {"pre": ("import jax.numpy as jnp\n"
+                               "from robustcap_tpu.nn.rnn import "
+                               "cast_params\n"
+                               "params = cast_params(params, "
+                               "jnp.bfloat16)\n"),
+                       "cfg": "pallas_serve=True",
+                       "kw": ", chunk_len=%d" % Kc},
+                min(300.0, max(90.0, deadline - time.perf_counter())))
+            chunk = {"export_ok": ok_c,
+                     "export_seconds": round(export_s_c, 1),
+                     "reason": reason_c, "chunk_len": Kc}
+            if ok_c:
+                try:
+                    from robustcap_tpu.serving import ServingBundle
+                    sbc = ServingBundle.load(cdir)
+                    sbc.forward_online(j2dc[0, 0], accc[0, 0], oric[0, 0],
+                                       first_tran=np.zeros(3, np.float32),
+                                       first_frame=True)
+                    lat = []
+                    for i in range(3):
+                        a = (i * Kc + 1) % (T - Kc)
+                        s = time.perf_counter()
+                        _, tr = sbc.forward_chunk(
+                            j2dc[0, a:a + Kc], accc[0, a:a + Kc],
+                            oric[0, a:a + Kc])
+                        jax.block_until_ready(tr)
+                        lat.append((time.perf_counter() - s) / Kc * 1e3)
+                    chunk["load_run_ok"] = True
+                    # one whole-chunk dispatch per K frames: RTT amortized,
+                    # so wall-clock per frame is an honest serving number
+                    chunk["dispatch_ms_per_frame"] = round(
+                        float(np.percentile(lat, 50)), 4)
+                except Exception as e:  # noqa: BLE001 - report, don't die
+                    chunk["load_run_ok"] = False
+                    chunk["reason"] = f"{type(e).__name__}: {e}"[:400]
+            bundle["pallas_serve_chunk"] = chunk
+        return bundle
+
+    bundle = None
+    if os.environ.get("BENCH_BUNDLE", "1") != "0":
+        bundle = guarded("serving_bundle", run_bundle)
+
     # same differencing with bfloat16 weights (exact-mode fast serving
     # dtype — halves the bank's weight traffic; docs/PERFORMANCE.md)
     def run_p50_bf16():
@@ -318,11 +502,19 @@ def main():
             p, model, cfg_t, f["j2dc"], f["accc"], f["oric"],
             first_frame=True, gravityc=f["gravityc"][0]))
 
-        # on-device numerical parity (f32): fused tail vs the XLA tail
+        # on-device numerical parity (f32): fused tail vs the XLA tail.
+        # Bounded (VERDICT r3 item 4): the expected drift is MXU bf16-input
+        # matmul rounding inside the kernel's dots vs XLA's op-by-op f32
+        # tail, compounded through the K-frame recurrent carry — so the
+        # asserted bound is on the per-frame MEDIAN pose diff plus the
+        # translation max (docs/PERFORMANCE.md "On-chip parity bounds").
         pa, ta = single(params, one_k)
         pb, tb = single_t(params, one_k)
-        parity = float(jnp.maximum(jnp.abs(pa - pb).max(),
-                                   jnp.abs(ta - tb).max()))
+        parity = _parity_metrics(pa, ta, pb, tb)
+        err = _bound_parity(parity, pose_p50_bound=TAIL_POSE_P50_BOUND,
+                            tran_bound=TAIL_TRAN_BOUND)
+        if err:
+            section_errors["pallas_tail_parity"] = err
 
         def diff_p50(pp):
             jax.block_until_ready(single_t(pp, one_k))
@@ -337,7 +529,7 @@ def main():
                 out.append(((t2 - t1) - (t1 - t0)) / K * 1e3)
             return float(np.percentile(out, 50))
 
-        res = {"xla_vs_kernel_max_abs_diff": round(parity, 6),
+        res = {"parity": parity,
                "device_p50_tail_ms": round(diff_p50(params), 4)}
         if time.perf_counter() < deadline:
             res["device_p50_tail_bf16_ms"] = round(
@@ -379,11 +571,18 @@ def main():
                                             frames, carry)
             return poses, trans
 
-        # on-device parity vs the XLA bf16 scan (same weights, same frames)
+        # on-device parity vs the XLA bf16 scan (same weights, same
+        # frames), bounded (VERDICT r3 item 4): both sides compute in bf16
+        # but with different fusion/accumulation order, so per-frame drift
+        # compounds through the Ks-frame carry; the bound is on the
+        # per-frame median pose diff + translation max.
         pa, ta = single(pb, sv_one)
         ps, ts = fwd(arrs, pb, sv_one)
-        parity = float(jnp.maximum(jnp.abs(pa - ps).max(),
-                                   jnp.abs(ta - ts).max()))
+        parity = _parity_metrics(pa, ta, ps, ts)
+        err = _bound_parity(parity, pose_p50_bound=SERVE_POSE_P50_BOUND,
+                            tran_bound=SERVE_TRAN_BOUND)
+        if err:
+            section_errors["pallas_serve_parity"] = err
 
         def diff_p50(f, a, p):
             jax.block_until_ready(f(a, p, sv_one))
@@ -400,7 +599,7 @@ def main():
 
         res = {"device_p50_serve_bf16_ms": round(diff_p50(fwd, arrs, pb), 4),
                "stream": list(meta["stream"]),
-               "xla_vs_kernel_max_abs_diff": round(parity, 6)}
+               "parity": parity}
 
         # int8-resident gate bank: the whole quantized bank lives in VMEM,
         # zero per-frame weight HBM traffic (approximate int8c semantics)
@@ -429,11 +628,20 @@ def main():
 
             sp8 = sig_mp.prepare_scan_params(qp_s, True)
             p8, t8 = fwd8(arrs8, sp8, sv_one)
-            parity8 = float(jnp.maximum(jnp.abs(pa - p8).max(),
-                                        jnp.abs(ta - t8).max()))
+            # int8 is an APPROXIMATE mode: its quality contract is the
+            # end-metric acceptance test (<2mm MPJPE delta,
+            # tests/test_quantization.py), not bitwise parity — so the
+            # drift vs the bf16 XLA scan is recorded, with only the
+            # translation (which integrates every branch decision)
+            # bounded as a semantic-divergence tripwire.
+            parity8 = _parity_metrics(pa, ta, p8, t8)
+            err8 = _bound_parity(parity8, pose_p50_bound=1.0,
+                                 tran_bound=INT8_TRAN_BOUND)
+            if err8:
+                section_errors["pallas_serve_int8_parity"] = err8
             res["device_p50_serve_int8_ms"] = round(
                 diff_p50(fwd8, arrs8, sp8), 4)
-            res["int8_vs_bf16_max_abs_diff"] = round(parity8, 5)
+            res["int8_parity"] = parity8
 
         # live serving: throttled occluded frames skip BOTH wide stacks
         # (and the rnn6 weight DMA) inside the kernel — with live_mode's
@@ -517,19 +725,25 @@ def main():
             and time.perf_counter() < deadline):
         smplify_fps = guarded("smplify", run_smplify)
 
-    # -- training step throughput (VERDICT r2 item 3) ----------------------
+    # -- training step throughput (VERDICT r2 item 3, r3 item 7) -----------
     # DP train step over a mesh of all attached devices (one chip here;
     # the same code path the 8-device CPU tests and dryrun_multichip
-    # exercise). rnn4 = the widest module (1280), rnn7 = the FK-loss head.
-    # Match: reference articulate/utils/torch/train.py:15, net/sig_mp.py
-    # trainers (train_rnn4:436-574, train_rnn7:700-787).
+    # exercise), for ALL SIX modules with their real trainer losses:
+    # rnn2 = the RNNWithInit path (init-net seeds (h0,c0) from the first
+    # label), rnn3 = multi-horizon velocity, rnn4 = the widest (1280),
+    # rnn6 = visual translation, rnn7 = the FK-loss head, rnn8 = the
+    # pos-weighted-BCE contact head. Match: reference
+    # articulate/utils/torch/train.py:15, net/sig_mp.py:301-857.
     def run_train():
         import optax
 
         from robustcap_tpu.models.sig_mp import RNN_SPECS
         from robustcap_tpu.nn.rnn import init_rnn_params
         from robustcap_tpu.parallel.mesh import make_dp_train_step
-        from robustcap_tpu.train.losses import make_fk_pose_loss, masked_mse
+        from robustcap_tpu.train.losses import (make_fk_pose_loss,
+                                                masked_bce_pos_weight,
+                                                masked_mse,
+                                                velocity_horizon_loss)
         from robustcap_tpu.train.trainers import make_forward_fn
 
         import math
@@ -538,28 +752,39 @@ def main():
         # the data mesh must evenly divide the batch (tiny smoke batches
         # under the 8-virtual-device CPU conftest otherwise can't shard)
         mesh = jax.make_mesh((math.gcd(len(jax.devices()), Bt),), ("data",))
+        losses = {"rnn2": masked_mse, "rnn3": velocity_horizon_loss,
+                  "rnn4": masked_mse, "rnn6": masked_mse,
+                  "rnn7": make_fk_pose_loss(model),
+                  "rnn8": masked_bce_pos_weight(np.asarray([1.7, 2.1],
+                                                           np.float32))}
         fps = {}
-        for name, loss_fn in (("rnn4", masked_mse),
-                              ("rnn7", make_fk_pose_loss(model))):
+        for name, loss_fn in losses.items():
+            if fps and time.perf_counter() > deadline:
+                break  # partial coverage beats a blown budget
             i, o, h, dropout, with_init = RNN_SPECS[name]
             p = init_rnn_params(jax.random.PRNGKey(1), i, o, h, 2, with_init)
             tx = optax.chain(optax.clip_by_global_norm(1.0),
                              optax.adam(1e-4))
-            step = make_dp_train_step(make_forward_fn(dropout), loss_fn,
-                                      tx, mesh)
+            step = make_dp_train_step(
+                make_forward_fn(dropout, with_init=with_init), loss_fn,
+                tx, mesh)
             opt_state = tx.init(p)
             xs = jnp.asarray(rng.randn(Tt, Bt, i), jnp.float32)
-            ys = jnp.asarray(rng.randn(Tt, Bt, o), jnp.float32)
+            if name == "rnn8":  # contact labels are per-foot {0,1}
+                ys = jnp.asarray(rng.rand(Tt, Bt, o) < 0.5, jnp.float32)
+            else:
+                ys = jnp.asarray(rng.randn(Tt, Bt, o), jnp.float32)
+            init = jnp.asarray(ys[0]) if with_init else None
             lengths = jnp.full((Bt,), Tt, jnp.int32)
             key = jax.random.PRNGKey(2)
-            p, opt_state, _ = step(p, opt_state, xs, ys, lengths, None,
+            p, opt_state, _ = step(p, opt_state, xs, ys, lengths, init,
                                    key, 1.0)  # compile + warm
             jax.block_until_ready(p)
             t0 = time.perf_counter()
             reps_t = 3
             for _ in range(reps_t):
                 p, opt_state, loss = step(p, opt_state, xs, ys, lengths,
-                                          None, key, 1.0)
+                                          init, key, 1.0)
             jax.block_until_ready(p)
             fps[name] = Tt * Bt / ((time.perf_counter() - t0) / reps_t)
         return fps
@@ -625,10 +850,14 @@ def main():
         # pool, so the chunk length is capped at T//2 independently of the
         # standalone probe's generated-data length)
         Kc = min(Kp, T // 2)
+        chunk_reps = int(os.environ.get("BENCH_CHUNK_REPS", 9))
 
-        def chunk_ms(pallas_flag):
-            c = SigMPConfig(pallas_inertial=pallas_flag)
-            net = sig_mp.StreamingNet(params, model, c)
+        def chunk_ms(c, wparams):
+            r"""(p50, per-rep samples) ms/frame by K-vs-2K differencing with
+            distinct inputs per rep. Samples are recorded in the artifact
+            (VERDICT r3 item 3): the round-2/3 driver runs disagreed on the
+            chunk contest's winner, so the spread is now first-class."""
+            net = sig_mp.StreamingNet(wparams, model, c)
             net.forward_online(j2dc[0, 0], accc[0, 0], oric[0, 0],
                                first_tran=np.zeros(3, np.float32),
                                first_frame=True)  # clears first_reach
@@ -637,7 +866,7 @@ def main():
             net.forward_chunk(j2dc[0, :K1], accc[0, :K1], oric[0, :K1])
             net.forward_chunk(j2dc[0, :K2], accc[0, :K2], oric[0, :K2])
             out = []
-            for i in range(reps_p):
+            for i in range(chunk_reps):
                 a = (i + 1) % T
                 sl1 = np.roll(j2dc[0], a, 0)[:K1], \
                     np.roll(accc[0], a, 0)[:K1], np.roll(oric[0], a, 0)[:K1]
@@ -651,104 +880,60 @@ def main():
                 float(jnp.asarray(tr).sum())
                 t2 = time.perf_counter()
                 out.append(((t2 - t1) - (t1 - t0)) / K1 * 1e3)
-            return float(np.percentile(out, 50))
+            return (float(np.percentile(out, 50)),
+                    [round(x, 5) for x in out])
 
-        if bench_dtype == "f32" and time.perf_counter() < deadline:
-            std_chunk = chunk_ms(False)
-            pl_chunk = chunk_ms(True)
-        else:
-            std_chunk = pl_chunk = None
-        return {
+        res = {
             "rnn2_xla_ms_per_step": round(xla_ms, 5),
             "rnn2_pallas_ms_per_step": round(pl_ms, 5),
             "kernel_vs_scan_max_abs_diff": round(parity, 6),
-            "chunk_std_ms_per_frame": (None if std_chunk is None
-                                       else round(std_chunk, 5)),
-            "chunk_pallas_ms_per_frame": (None if pl_chunk is None
-                                          else round(pl_chunk, 5)),
         }
+        if bench_dtype == "f32" and time.perf_counter() < deadline:
+            from robustcap_tpu.nn.rnn import cast_params
+            pb16 = cast_params(params, jnp.bfloat16)
+            contenders = [
+                ("chunk_std", SigMPConfig(), params),
+                ("chunk_pallas", SigMPConfig(pallas_inertial=True), params),
+            ]
+            if os.environ.get("BENCH_SERVE", "1") != "0":
+                # the whole-step weight-resident kernel (bf16 — its serving
+                # dtype), vs the XLA scan on the same bf16 weights. Gated
+                # with the serve section: off-chip (CPU smoke) the kernel
+                # runs full-width interpret mode, far too slow
+                contenders += [
+                    ("chunk_xla_bf16", SigMPConfig(), pb16),
+                    ("chunk_serve_bf16", SigMPConfig(pallas_serve=True),
+                     pb16),
+                ]
+            for label, c, wp in contenders:
+                if time.perf_counter() > deadline and label != "chunk_std":
+                    break
+                p50, samples = guarded(f"pallas.{label}",
+                                       lambda c=c, wp=wp: chunk_ms(c, wp),
+                                       default=(None, None))
+                res[f"{label}_ms_per_frame"] = (
+                    None if p50 is None else round(p50, 5))
+                res[f"{label}_samples"] = samples
+        return res
 
     pallas = None
     if (os.environ.get("BENCH_PALLAS", "1") != "0"
             and time.perf_counter() < deadline):
         pallas = guarded("pallas", run_pallas)
 
-    # -- AOT serving bundle on the real backend (VERDICT r2 item 6) --------
-    # Export runs in a SUBPROCESS under a hard timeout: tpu-platform
-    # jax.export lowering through the tunneled backend is a documented
-    # hang hazard (docs/PERFORMANCE.md) — this either proves it fixed or
-    # pins the reproduction, every round. On success the parent loads the
-    # artifact and executes frames on the chip (the load+run path).
-    def run_bundle():
-        import subprocess
-        import tempfile
-        bdir = tempfile.mkdtemp(prefix="rc_bundle_")
-        export_script = (
-            "import sys; sys.path.insert(0, %r)\n"
-            "import jax\n"
-            "from robustcap_tpu.config import SigMPConfig\n"
-            "from robustcap_tpu.models import sig_mp\n"
-            "from robustcap_tpu.smpl import ParametricModel, "
-            "synthetic_smpl_data\n"
-            "from robustcap_tpu.serving import export_serving_bundle\n"
-            "model = ParametricModel(data=synthetic_smpl_data())\n"
-            "params = sig_mp.init_params(jax.random.PRNGKey(0))\n"
-            "m = export_serving_bundle(params, model, SigMPConfig(), %r,\n"
-            "                          platforms=('tpu',))\n"
-            "print('EXPORTED', m['platforms'])\n"
-        ) % (os.path.dirname(os.path.abspath(__file__)), bdir)
-        budget = min(300.0, max(30.0, deadline - time.perf_counter()))
-        t0 = time.perf_counter()
-        try:
-            proc = subprocess.run([sys.executable, "-c", export_script],
-                                  capture_output=True, text=True,
-                                  timeout=budget)
-            export_ok = proc.returncode == 0
-            reason = None if export_ok else proc.stderr[-400:]
-        except subprocess.TimeoutExpired:
-            export_ok, reason = False, (
-                f"tpu-platform export lowering exceeded {budget:.0f}s "
-                "(pinned hazard: hangs through the tunneled backend)")
-        export_s = time.perf_counter() - t0
-        bundle = {"export_ok": export_ok,
-                  "export_seconds": round(export_s, 1),
-                  "reason": reason}
-        if export_ok:
-            try:
-                from robustcap_tpu.serving import ServingBundle
-                sb = ServingBundle.load(bdir)
-                sb.forward_online(j2dc[0, 0], accc[0, 0], oric[0, 0],
-                                  first_tran=np.zeros(3, np.float32),
-                                  first_frame=True)
-                lat = []
-                for t in range(1, 20):
-                    s = time.perf_counter()
-                    _, tr = sb.forward_online(j2dc[0, t % T], accc[0, t % T],
-                                              oric[0, t % T])
-                    jax.block_until_ready(tr)
-                    lat.append(time.perf_counter() - s)
-                bundle["load_run_ok"] = True
-                bundle["dispatch_p50_ms"] = round(
-                    float(np.percentile(lat, 50) * 1e3), 3)
-            except Exception as e:  # noqa: BLE001 - report, don't die
-                bundle["load_run_ok"] = False
-                bundle["reason"] = f"{type(e).__name__}: {e}"[:400]
-        return bundle
-
-    bundle = None
-    if (os.environ.get("BENCH_BUNDLE", "1") != "0"
-            and time.perf_counter() < deadline):
-        bundle = guarded("serving_bundle", run_bundle)
-
     watchdog.cancel()
     result = {
         "metric": "aist_batched_eval_throughput",
         "value": round(batched_fps, 1),
         "unit": "frames/sec",
-        "vs_baseline": round(batched_fps / ref_fps, 2),
+        # headline multiplier vs the PINNED healthy-host reference number
+        # (VERDICT r3 item 5) — no longer a function of VM degradation
+        "vs_baseline": round(batched_fps / PINNED_BASELINE_FPS, 2),
         "device_p50_ms": round(device_p50_ms, 4),
         "extra": {
-            "baseline_fps": round(ref_fps, 2),
+            "baseline_fps_pinned": PINNED_BASELINE_FPS,
+            "baseline_fps_live": round(ref_fps, 2),
+            "vs_baseline_live": round(batched_fps / ref_fps, 2),
             "baseline_kind": baseline_kind,
             "device_step_method": "chained-scan differencing (RTT-free)",
             "device_p50_bf16_ms": (None if device_p50_bf16_ms is None
