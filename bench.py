@@ -921,6 +921,39 @@ def main():
             and time.perf_counter() < deadline):
         pallas = guarded("pallas", run_pallas)
 
+    # -- multi-client serving aggregate (the StreamingMultiplexer's device
+    # cost, streaming/multiplex.py): per-tick cost of the vmapped steady
+    # step at S concurrent streams, measured RTT-free by K-vs-2K
+    # differencing of the batched scan at B=S (the scanned form of the
+    # multiplexer's per-tick dispatch). The B=1 serving step is
+    # HBM-weight-bound (docs/PERFORMANCE.md), so S streams share one weight
+    # read per tick and per-stream cost falls nearly S-fold until the MXU
+    # takes over. Runs LAST: a new section must not starve the proven ones.
+    def run_multistream():
+        from robustcap_tpu.nn.rnn import cast_params
+        pb = cast_params(params, jnp.bfloat16)
+        S = min(int(os.environ.get("BENCH_STREAMS", 8)), B)
+        f_k, f_2k = make_frames(S, K), make_frames(S, 2 * K)
+        jax.block_until_ready(batched(pb, f_k))
+        jax.block_until_ready(batched(pb, f_2k))
+        out = []
+        for _ in range(5):
+            t0 = time.perf_counter()
+            jax.block_until_ready(batched(pb, f_k))
+            t1 = time.perf_counter()
+            jax.block_until_ready(batched(pb, f_2k))
+            t2 = time.perf_counter()
+            out.append(((t2 - t1) - (t1 - t0)) / K * 1e3)
+        tick = float(np.percentile(out, 50))
+        return {"streams": S, "ms_per_tick_bf16": round(tick, 4),
+                "ms_per_stream_bf16": round(tick / S, 4)}
+
+    multistream = None
+    if (bench_dtype == "f32"
+            and os.environ.get("BENCH_MULTISTREAM", "1") != "0"
+            and time.perf_counter() < deadline):
+        multistream = guarded("multistream", run_multistream)
+
     watchdog.cancel()
     result = {
         "metric": "aist_batched_eval_throughput",
@@ -948,6 +981,7 @@ def main():
             "train_fps": ({k: round(v, 1) for k, v in train_fps.items()}
                           or None),
             "pallas": pallas,
+            "multistream": multistream,
             "pallas_tail": tail,
             "pallas_serve": serve,
             "serving_bundle": bundle,

@@ -22,7 +22,7 @@ def bench_env(monkeypatch):
         "BENCH_TAIL": "0", "BENCH_SERVE": "0",
         # ungated-by-default timing extras: each costs a scan compile that
         # eats the smoke deadline on degraded 1-vCPU hosts
-        "BENCH_P50_BF16": "0", "BENCH_TUNNEL": "0",
+        "BENCH_P50_BF16": "0", "BENCH_TUNNEL": "0", "BENCH_MULTISTREAM": "0",
         "BENCH_DEADLINE_S": "200", "BENCH_HARD_DEADLINE_S": "900",
     }.items():
         monkeypatch.setenv(k, v)
@@ -83,6 +83,26 @@ def test_pallas_section_reports_parity_and_timings(bench_env):
     # the serve contenders are gated with BENCH_SERVE (off in this smoke:
     # full-width interpret mode on CPU)
     assert "chunk_serve_bf16_ms_per_frame" not in pl
+
+
+def test_multistream_section_reports_per_stream_cost(bench_env):
+    bench_env.setenv("BENCH_MULTISTREAM", "1")
+    # the section deliberately runs LAST, so on a degraded 1-vCPU host the
+    # fixture's 200 s soft deadline can expire before it — not what this
+    # test is probing
+    bench_env.setenv("BENCH_DEADLINE_S", "900")
+    out = _run_main()
+    ms = out["extra"]["multistream"]
+    # S clamps to the bench batch (2 here): the section measures the
+    # vmapped multiplexer tick at B=S, so S can't exceed the data pool
+    assert ms["streams"] == 2
+    # tick timing itself is differencing noise at smoke sizes on CPU; the
+    # smoke asserts the section's structure, the chip asserts the value
+    assert isinstance(ms["ms_per_tick_bf16"], float)
+    # both fields round the same unrounded tick, so compare with the
+    # rounding granularity as tolerance
+    assert abs(ms["ms_per_stream_bf16"]
+               - ms["ms_per_tick_bf16"] / ms["streams"]) < 1e-3
 
 
 class TestParityBounds:
