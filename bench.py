@@ -120,6 +120,29 @@ def _measure_reference_cpu_fps(j2dc, accc, oric, n_frames=40):
         return 60.0, f"reference unavailable ({type(e).__name__}); 60 FPS design constant"
 
 
+def _carry_forward_bundle(bundle, state_path):
+    r"""Persist a PROVEN bundle result; attach it as ``last_good`` on failure.
+
+    Mutates ``bundle`` in place. Success (export + load both ok) overwrites
+    the state file with a timestamped copy; a failed export reads it back
+    into ``bundle["last_good"]`` so a tunnel flap during the round-end run
+    does not erase a previously proven export from the artifact.
+    """
+    try:
+        if bundle and bundle.get("export_ok") and bundle.get("load_run_ok"):
+            keep = {k: v for k, v in bundle.items() if k != "last_good"}
+            with open(state_path, "w") as fh:
+                json.dump({"measured_at": time.strftime(
+                    "%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+                    "bundle": keep}, fh)
+        elif (bundle is not None and not bundle.get("export_ok")
+                and os.path.exists(state_path)):
+            with open(state_path) as fh:
+                bundle["last_good"] = json.load(fh)
+    except Exception:  # noqa: BLE001 - state is best-effort
+        pass
+
+
 def main():
     import threading
 
@@ -467,6 +490,15 @@ def main():
     bundle = None
     if os.environ.get("BENCH_BUNDLE", "1") != "0":
         bundle = guarded("serving_bundle", run_bundle)
+        # Carry-forward (VERDICT r3 item 2): the tunneled backend flaps for
+        # tens of minutes at a time, and an export that catches a flap
+        # times out — that must not erase a previously PROVEN export from
+        # the round artifact. On success, persist the result next to the
+        # compile cache (untracked); on failure, attach it timestamped and
+        # clearly labeled as ``last_good`` alongside this run's failure.
+        _carry_forward_bundle(bundle, os.path.join(
+            os.path.dirname(os.path.abspath(__file__)),
+            ".bench_last_good_bundle.json"))
 
     # same differencing with bfloat16 weights (exact-mode fast serving
     # dtype — halves the bank's weight traffic; docs/PERFORMANCE.md)

@@ -105,6 +105,46 @@ def test_multistream_section_reports_per_stream_cost(bench_env):
                - ms["ms_per_tick_bf16"] / ms["streams"]) < 1e-3
 
 
+class TestBundleCarryForward:
+    r"""The last-good bundle state (VERDICT r3 item 2): a proven export
+    persists; a tunnel-flap failure attaches it instead of erasing it."""
+
+    def _good(self):
+        return {"export_ok": True, "load_run_ok": True,
+                "export_seconds": 95.5, "dispatch_p50_ms": 32.0,
+                "reason": None}
+
+    def test_success_persists_and_failure_reads_back(self, tmp_path):
+        import bench
+        state = str(tmp_path / "state.json")
+        good = self._good()
+        bench._carry_forward_bundle(good, state)
+        assert os.path.exists(state) and "last_good" not in good
+
+        failed = {"export_ok": False, "export_seconds": 232.2,
+                  "reason": "export lowering exceeded 232s"}
+        bench._carry_forward_bundle(failed, state)
+        lg = failed["last_good"]
+        assert lg["bundle"]["dispatch_p50_ms"] == 32.0
+        assert lg["measured_at"]  # timestamped, clearly labeled
+
+    def test_failure_without_state_adds_nothing(self, tmp_path):
+        import bench
+        failed = {"export_ok": False, "reason": "boom"}
+        bench._carry_forward_bundle(failed, str(tmp_path / "none.json"))
+        assert "last_good" not in failed
+
+    def test_new_success_does_not_nest_last_good(self, tmp_path):
+        import bench
+        import json as _json
+        state = str(tmp_path / "state.json")
+        bench._carry_forward_bundle(self._good(), state)
+        succeeded_after_fail = dict(self._good(), last_good={"old": True})
+        bench._carry_forward_bundle(succeeded_after_fail, state)
+        saved = _json.load(open(state))
+        assert "last_good" not in saved["bundle"]
+
+
 class TestParityBounds:
     r"""Unit tests for the on-chip parity acceptance helpers (VERDICT r3
     item 4): these gate the driver artifact's kernel sections, so their
