@@ -120,16 +120,19 @@ def _measure_reference_cpu_fps(j2dc, accc, oric, n_frames=40):
         return 60.0, f"reference unavailable ({type(e).__name__}); 60 FPS design constant"
 
 
-def _carry_forward_bundle(bundle, state_path):
+def _carry_forward_bundle(bundle, state_path, allow_store=True):
     r"""Persist a PROVEN bundle result; attach it as ``last_good`` on failure.
 
     Mutates ``bundle`` in place. Success (export + load both ok) overwrites
     the state file with a timestamped copy; a failed export reads it back
     into ``bundle["last_good"]`` so a tunnel flap during the round-end run
     does not erase a previously proven export from the artifact.
+    ``allow_store=False`` (CPU fallback run) keeps the read-back path but
+    never records an off-chip export as chip proof.
     """
     try:
-        if bundle and bundle.get("export_ok") and bundle.get("load_run_ok"):
+        if (allow_store and bundle and bundle.get("export_ok")
+                and bundle.get("load_run_ok")):
             keep = {k: v for k, v in bundle.items() if k != "last_good"}
             with open(state_path, "w") as fh:
                 json.dump({"measured_at": time.strftime(
@@ -139,6 +142,54 @@ def _carry_forward_bundle(bundle, state_path):
                 and os.path.exists(state_path)):
             with open(state_path) as fh:
                 bundle["last_good"] = json.load(fh)
+    except Exception:  # noqa: BLE001 - state is best-effort
+        pass
+
+
+# optional extra.* sections the carry-forward below persists between runs
+_CARRIED_SECTIONS = (
+    "device_p50_bf16_ms", "tunnel_per_dispatch_p50_ms", "smplify_refine_fps",
+    "int8c_fps", "batched_bf16_fps", "train_fps", "pallas", "multistream",
+    "pallas_tail", "pallas_serve",
+)
+
+
+def _carry_forward_sections(extra, state_path):
+    r"""Persist every measured optional section; surface prior proof for nulls.
+
+    A run in this environment routinely loses optional sections to tunnel
+    flaps / budget starvation (docs/bench_runs_r04: run2 and run4 lost
+    everything after the core measurements), so the one artifact the driver
+    records per round under-reports what the repo has proven. For each
+    section in ``_CARRIED_SECTIONS``: a non-null live value overwrites that
+    section's on-disk state (timestamped); a null one pulls the stored copy
+    into ``extra["last_good"][name]``. Carried values are NEVER written
+    into the live slots — a starved slot stays null and the prior proof
+    sits adjacent under ``last_good`` with its measurement time, so live
+    and carried evidence cannot be confused.
+    """
+    state = {}
+    try:
+        if os.path.exists(state_path):
+            with open(state_path) as fh:
+                state = json.load(fh)
+    except Exception:  # noqa: BLE001 - state is best-effort
+        state = {}
+    now = time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())
+    device = extra.get("device", "")
+    carried = {}
+    for name in _CARRIED_SECTIONS:
+        val = extra.get(name)
+        if val is not None:
+            state[name] = {"measured_at": now, "value": val,
+                           "device": device}
+        elif name in state:
+            carried[name] = state[name]
+    if carried:
+        extra["last_good"] = carried
+    try:
+        with open(state_path, "w") as fh:
+            json.dump(state, fh)
     except Exception:  # noqa: BLE001 - state is best-effort
         pass
 
@@ -221,13 +272,21 @@ def main():
     # overflow crashed the whole bench before any JSON line) is recorded in
     # extra.section_errors instead of killing the measurement run.
     section_errors = {}
+    section_seconds = {}
 
     def guarded(label, fn, default=None):
+        t0 = time.perf_counter()
         try:
             return fn()
         except Exception as e:  # noqa: BLE001 - report, don't die
             section_errors[label] = f"{type(e).__name__}: {e}"[:300]
             return default
+        finally:
+            # wall time per section in the artifact: starvation of the late
+            # sections (soft deadline) is diagnosable from the JSON alone
+            section_seconds[label] = round(
+                section_seconds.get(label, 0.0)
+                + (time.perf_counter() - t0), 1)
 
     from robustcap_tpu.config import SigMPConfig
     from robustcap_tpu.models import sig_mp
@@ -498,7 +557,8 @@ def main():
         # clearly labeled as ``last_good`` alongside this run's failure.
         _carry_forward_bundle(bundle, os.path.join(
             os.path.dirname(os.path.abspath(__file__)),
-            ".bench_last_good_bundle.json"))
+            ".bench_last_good_bundle.json"),
+            allow_store="TPU" in str(jax.devices()[0]))
 
     # same differencing with bfloat16 weights (exact-mode fast serving
     # dtype — halves the bank's weight traffic; docs/PERFORMANCE.md)
@@ -898,7 +958,10 @@ def main():
             net.forward_chunk(j2dc[0, :K1], accc[0, :K1], oric[0, :K1])
             net.forward_chunk(j2dc[0, :K2], accc[0, :K2], oric[0, :K2])
             out = []
-            for i in range(chunk_reps):
+            # one extra leading rep: the first post-warmup differencing pair
+            # consistently carries a relay/cache transient (negative or wild
+            # samples in the r4 run artifacts) — prime it, publish the rest
+            for i in range(chunk_reps + 1):
                 a = (i + 1) % T
                 sl1 = np.roll(j2dc[0], a, 0)[:K1], \
                     np.roll(accc[0], a, 0)[:K1], np.roll(oric[0], a, 0)[:K1]
@@ -911,7 +974,8 @@ def main():
                 _, tr = net.forward_chunk(*sl2)
                 float(jnp.asarray(tr).sum())
                 t2 = time.perf_counter()
-                out.append(((t2 - t1) - (t1 - t0)) / K1 * 1e3)
+                if i > 0:
+                    out.append(((t2 - t1) - (t1 - t0)) / K1 * 1e3)
             return (float(np.percentile(out, 50)),
                     [round(x, 5) for x in out])
 
@@ -965,20 +1029,37 @@ def main():
         from robustcap_tpu.nn.rnn import cast_params
         pb = cast_params(params, jnp.bfloat16)
         S = min(int(os.environ.get("BENCH_STREAMS", 8)), B)
-        f_k, f_2k = make_frames(S, K), make_frames(S, 2 * K)
+
+        pool_k, pool_2k = make_frames(B, K), make_frames(B, 2 * K)
+
+        def frames_at(i):
+            # distinct inputs per rep (relay caches repeated identical
+            # dispatches — CLAUDE.md gotcha): slide an S-row window over
+            # the device-resident B-row pool (on-device gather, no re-upload)
+            sel = jnp.asarray((np.arange(S) + i) % B)
+            return ({k: v[sel] for k, v in pool_k.items()},
+                    {k: v[sel] for k, v in pool_2k.items()})
+        f_k, f_2k = frames_at(0)
         jax.block_until_ready(batched(pb, f_k))
         jax.block_until_ready(batched(pb, f_2k))
         out = []
-        for _ in range(5):
+        for i in range(6):
+            f_k, f_2k = frames_at(i + 1)
+            # the window gathers above run async on the device — wait for
+            # them, or they execute inside the first timing segment and the
+            # differencing goes negative (observed: bench_runs_r04 run8)
+            jax.block_until_ready((f_k, f_2k))
             t0 = time.perf_counter()
             jax.block_until_ready(batched(pb, f_k))
             t1 = time.perf_counter()
             jax.block_until_ready(batched(pb, f_2k))
             t2 = time.perf_counter()
-            out.append(((t2 - t1) - (t1 - t0)) / K * 1e3)
+            if i > 0:
+                out.append(((t2 - t1) - (t1 - t0)) / K * 1e3)
         tick = float(np.percentile(out, 50))
         return {"streams": S, "ms_per_tick_bf16": round(tick, 4),
-                "ms_per_stream_bf16": round(tick / S, 4)}
+                "ms_per_stream_bf16": round(tick / S, 4),
+                "samples_ms_per_tick": [round(x, 4) for x in out]}
 
     multistream = None
     if (bench_dtype == "f32"
@@ -1019,10 +1100,22 @@ def main():
             "serving_bundle": bundle,
             "serving_dtype": bench_dtype,
             "section_errors": section_errors or None,
+            "section_seconds": section_seconds or None,
             "batch": B, "frames": T,
             "device": str(jax.devices()[0]),
         },
     }
+    # TPU runs only: a CPU run (tunnel-down fallback, or the CI smoke
+    # driving main() at tiny sizes) must neither store its numbers as
+    # "proven" nor dress a CPU artifact with chip evidence
+    if "TPU" in result["extra"]["device"]:
+        try:
+            _carry_forward_sections(result["extra"], os.path.join(
+                os.path.dirname(os.path.abspath(__file__)),
+                ".bench_last_good_sections.json"))
+        except Exception as e:  # noqa: BLE001 - provenance is best-effort
+            result["extra"]["last_good_error"] = (
+                f"{type(e).__name__}: {e}"[:200])
     print(json.dumps(result))
 
 

@@ -145,6 +145,46 @@ class TestBundleCarryForward:
         assert "last_good" not in saved["bundle"]
 
 
+class TestSectionCarryForward:
+    r"""The generalized last-good store (round 4): every optional section's
+    proven result persists between runs; a starved run surfaces the prior
+    proof under ``extra.last_good`` without touching the null live slot."""
+
+    def test_measured_sections_persist_and_null_ones_carry(self, tmp_path):
+        import bench
+        state = str(tmp_path / "state.json")
+        run1 = {"pallas_serve": {"device_p50_serve_bf16_ms": 0.09},
+                "multistream": None, "train_fps": {"rnn4": 1.0e6}}
+        bench._carry_forward_sections(run1, state)
+        assert "last_good" not in run1  # nothing stored yet for the null
+
+        run2 = {"pallas_serve": None, "multistream": {"streams": 8},
+                "train_fps": None}
+        bench._carry_forward_sections(run2, state)
+        # live null stays null; prior proof adjacent and timestamped
+        assert run2["pallas_serve"] is None
+        lg = run2["last_good"]
+        assert lg["pallas_serve"]["value"] == {
+            "device_p50_serve_bf16_ms": 0.09}
+        assert lg["train_fps"]["value"] == {"rnn4": 1.0e6}
+        assert lg["pallas_serve"]["measured_at"]
+        assert "multistream" not in lg  # measured live this run
+
+    def test_fresh_measurement_replaces_stored_value(self, tmp_path):
+        import bench
+        import json as _json
+        state = str(tmp_path / "state.json")
+        bench._carry_forward_sections({"int8c_fps": 1.0}, state)
+        bench._carry_forward_sections({"int8c_fps": 2.0}, state)
+        assert _json.load(open(state))["int8c_fps"]["value"] == 2.0
+
+    def test_missing_state_file_is_harmless(self, tmp_path):
+        import bench
+        extra = {"pallas": None}
+        bench._carry_forward_sections(extra, str(tmp_path / "none.json"))
+        assert "last_good" not in extra
+
+
 class TestParityBounds:
     r"""Unit tests for the on-chip parity acceptance helpers (VERDICT r3
     item 4): these gate the driver artifact's kernel sections, so their
