@@ -48,7 +48,8 @@ def test_emits_one_json_line_with_required_fields(bench_env):
     extra = out["extra"]
     for key in ("baseline_fps_pinned", "baseline_fps_live",
                 "vs_baseline_live", "baseline_kind", "train_fps", "pallas",
-                "serving_bundle", "int8c_fps", "serving_dtype"):
+                "serving_bundle", "serving_bundle_chunk", "int8c_fps",
+                "serving_dtype", "section_seconds"):
         assert key in extra
     # the headline multiplier divides by the PINNED healthy-host baseline
     # (VERDICT r3 item 5), so it cannot move with VM degradation
@@ -183,6 +184,25 @@ class TestSectionCarryForward:
         extra = {"pallas": None}
         bench._carry_forward_sections(extra, str(tmp_path / "none.json"))
         assert "last_good" not in extra
+
+    def test_recorded_failure_neither_stores_nor_blocks_carry(self, tmp_path):
+        import bench
+        import json as _json
+        state = str(tmp_path / "state.json")
+        good = {"serving_bundle_chunk": {
+            "export_ok": True, "load_run_ok": True,
+            "dispatch_ms_per_frame": 0.39}}
+        bench._carry_forward_sections(good, state)
+
+        # a failed export is a recorded failure, not proof: the stored
+        # success must survive AND be carried alongside the live failure
+        failed = {"serving_bundle_chunk": {
+            "export_ok": False, "reason": "export lowering exceeded 138s"}}
+        bench._carry_forward_sections(failed, state)
+        assert failed["last_good"]["serving_bundle_chunk"]["value"][
+            "dispatch_ms_per_frame"] == 0.39
+        assert _json.load(open(state))["serving_bundle_chunk"]["value"][
+            "export_ok"] is True
 
 
 class TestParityBounds:
