@@ -232,7 +232,8 @@ def make_step(body_model: ParametricModel, cfg: SigMPConfig,
               output_contacts: bool = False,
               precomputed_inertial: bool = False,
               fuse_spec_heads: bool = True,
-              cond_updater: bool = False):
+              cond_updater: bool = False,
+              output_r6d: bool = False):
     r"""Build the pure per-frame step closure over body-model constants.
 
     Returns ``step(params, carry, frame) -> (carry, (pose [24,3,3], tran [3]))``
@@ -333,7 +334,7 @@ def make_step(body_model: ParametricModel, cfg: SigMPConfig,
             if cfg.use_reproj_opt:
                 T["tran"], T["j_lm"] = _reproj_refine(cfg, j2dc, c,
                                                       T["tran"], T["j_lm"])
-            return dict(T, st7_new=st7_new, st8_new=st8_new)
+            return dict(T, st7_new=st7_new, st8_new=st8_new, out7=out7)
 
         contact = jax.nn.sigmoid(out8)
 
@@ -435,7 +436,7 @@ def make_step(body_model: ParametricModel, cfg: SigMPConfig,
             tran, j_lm = _reproj_refine(cfg, j2dc, c, tran, j_lm)
 
         return {"st7_new": st7_new, "st8_new": st8_new, "contact": contact,
-                "pose": pose, "tran": tran, "pfoot": pfoot,
+                "out7": out7, "pose": pose, "tran": tran, "pfoot": pfoot,
                 "floor_buf": floor_buf, "floor_cnt": floor_cnt,
                 "vision_count": vision_count, "j_temp": j_temp,
                 "joint": joint, "j_lm": j_lm}
@@ -712,9 +713,16 @@ def make_step(body_model: ParametricModel, cfg: SigMPConfig,
             "pc_first": pc_first,
             "out4_first": out4_first,
         }
+        out = (pose, tran)
         if output_contacts:
-            return new_carry, (pose, tran, contact)
-        return new_carry, (pose, tran)
+            out = out + (contact,)
+        if output_r6d:
+            # diagnostic tap (default off, dead-code-eliminated otherwise):
+            # the raw rnn7 r6d head output, pre-Gram-Schmidt — lets callers
+            # measure the orthonormalization conditioning of outlier frames
+            # (docs/PERFORMANCE.md "On-chip parity bounds")
+            out = out + (T["out7"],)
+        return new_carry, out
 
     return step
 
@@ -779,15 +787,23 @@ def _sequence_frames(j2dc, accc, oric, first_tran, first_frame, gravityc,
 
 def forward_offline(params, body_model, cfg, j2dc, accc, oric,
                     first_tran=None, first_frame=False, gravityc=None,
-                    return_contacts: bool = False):
+                    return_contacts: bool = False,
+                    return_r6d: bool = False):
     r"""Whole-sequence inference: ``lax.scan`` of the fused steady step with
     the first-frame rnn6 evaluation hoisted out of the scan.
 
     Mirrors the reference's per-frame loop over ``forward_online``
     (evaluate.py:75-81) in one device launch. With ``return_contacts`` the
     foot-contact probabilities [T, 2] are returned too (the head the
-    reference computes but never exposes, sig_mp.py:170).
+    reference computes but never exposes, sig_mp.py:170). With
+    ``return_r6d`` the raw rnn7 r6d head outputs [T, 144] are appended —
+    a diagnostic tap for localizing Gram-Schmidt conditioning of parity
+    outlier frames (XLA scan path only; the fused serve kernel does not
+    materialize the head output).
     """
+    if return_r6d and cfg.pallas_serve:
+        raise ValueError("return_r6d requires the XLA scan path "
+                         "(cfg.pallas_serve=False)")
     params = prepare_scan_params(params, cfg.int8_compute)  # hoist dequant
     frames = _sequence_frames(j2dc, accc, oric, first_tran, first_frame,
                               gravityc)
@@ -809,7 +825,8 @@ def forward_offline(params, body_model, cfg, j2dc, accc, oric,
         return (poses, trans, contacts) if return_contacts else (poses,
                                                                  trans)
     step = make_step(body_model, cfg, include_first_frame_step=False,
-                     output_contacts=return_contacts, cond_updater=True)
+                     output_contacts=return_contacts, cond_updater=True,
+                     output_r6d=return_r6d)
     _, out = jax.lax.scan(partial(step, params), carry, frames)
     return out
 

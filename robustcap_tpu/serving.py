@@ -95,7 +95,8 @@ def _make_chunk_fn(params, body_model: ParametricModel, cfg: SigMPConfig,
 
 def export_serving_bundle(params, body_model: ParametricModel,
                           cfg: SigMPConfig, path: str,
-                          platforms=None, chunk_len: int = 0) -> dict:
+                          platforms=None, chunk_len: int = 0,
+                          extra_chunk_lens=()) -> dict:
     r"""Export the steady streaming step + first-frame prescan to ``path``.
 
     The exported functions take ``(params, carry, frame)`` as runtime
@@ -119,6 +120,12 @@ def export_serving_bundle(params, body_model: ParametricModel,
     ``(prepped_or_params, carry, frames)`` at runtime; ``ServingBundle``
     rebuilds the repacked operand bank from ``weights.pkl`` at load time
     (a cheap reshuffle, not a re-trace).
+
+    ``extra_chunk_lens`` exports further chunk programs (``chunk_<K>.bin``)
+    of the same mode; ``ServingBundle.forward_chunk`` dispatches on the
+    input length. Two lengths let a caller measure the loaded artifact's
+    RTT-free per-frame device cost by differencing one K-frame dispatch
+    against one 2K-frame dispatch (bench.py ``serving_bundle.device_p50_ms``).
     """
     from jax import export as jexport
 
@@ -151,16 +158,17 @@ def export_serving_bundle(params, body_model: ParametricModel,
     with open(os.path.join(path, "prescan.bin"), "wb") as f:
         f.write(exp_pre.serialize())
 
-    if chunk_len > 0:
-        chunk_fn, chunk_args = _make_chunk_fn(params, body_model, cfg,
-                                              chunk_len)
+    extra_chunk_lens = tuple(int(k) for k in extra_chunk_lens)
+    for K in ((chunk_len,) if chunk_len > 0 else ()) + extra_chunk_lens:
+        chunk_fn, chunk_args = _make_chunk_fn(params, body_model, cfg, K)
         chunk_shapes = jax.tree.map(
             lambda x: jax.ShapeDtypeStruct(np.shape(x), x.dtype), chunk_args)
         exp_chunk = jexport.export(
             jax.jit(chunk_fn),
             platforms=None if platforms is None else list(platforms)
         )(*chunk_shapes)
-        with open(os.path.join(path, "chunk.bin"), "wb") as f:
+        name = "chunk.bin" if K == chunk_len else f"chunk_{K}.bin"
+        with open(os.path.join(path, name), "wb") as f:
             f.write(exp_chunk.serialize())
 
     from .train import save_pytree
@@ -172,8 +180,9 @@ def export_serving_bundle(params, body_model: ParametricModel,
         "config": dataclasses.asdict(cfg),
         "jax_version": jax.__version__,
         "chunk_len": int(chunk_len),
+        "extra_chunk_lens": list(extra_chunk_lens),
         "chunk_mode": ("pallas_serve" if cfg.pallas_serve else "xla_scan")
-                      if chunk_len > 0 else None,
+                      if (chunk_len > 0 or extra_chunk_lens) else None,
     }
     with open(os.path.join(path, "manifest.json"), "w") as f:
         json.dump(manifest, f, indent=2)
@@ -189,6 +198,7 @@ class ServingBundle:
         self._step = step_fn
         self._prescan = prescan_fn
         self._chunk = None
+        self._chunks = {}  # length -> deserialized chunk program
         self._chunk_params = None
         self.params = params
         self.cfg = cfg
@@ -219,10 +229,20 @@ class ServingBundle:
         cfg_dict["conf_range"] = tuple(cfg_dict["conf_range"])
         cfg = SigMPConfig(**cfg_dict)
         bundle = cls(step.call, prescan.call, params, cfg, manifest)
-        chunk_path = os.path.join(path, "chunk.bin")
-        if manifest.get("chunk_len") and os.path.exists(chunk_path):
+        chunk_files = {}
+        if manifest.get("chunk_len"):
+            chunk_files[int(manifest["chunk_len"])] = os.path.join(
+                path, "chunk.bin")
+        for K in manifest.get("extra_chunk_lens") or ():
+            chunk_files[int(K)] = os.path.join(path, f"chunk_{K}.bin")
+        for K, chunk_path in chunk_files.items():
+            if not os.path.exists(chunk_path):
+                continue
             with open(chunk_path, "rb") as f:
-                bundle._chunk = jexport.deserialize(f.read()).call
+                bundle._chunks[K] = jexport.deserialize(f.read()).call
+        if manifest.get("chunk_len") in bundle._chunks:
+            bundle._chunk = bundle._chunks[manifest["chunk_len"]]
+        if bundle._chunks:
             if manifest["chunk_mode"] == "pallas_serve":
                 prepped = _bundle_prepped(params, cfg)
                 bundle._chunk_params = {k: prepped[k]
@@ -244,17 +264,20 @@ class ServingBundle:
         return pose, tran
 
     def forward_chunk(self, j2dc, accc, oric, gravityc=None):
-        r"""Advance exactly ``manifest["chunk_len"]`` frames in one call of
-        the exported chunk program (the fused weight-resident kernel when
-        the bundle was exported with ``cfg.pallas_serve``)."""
-        if self._chunk is None:
+        r"""Advance one chunk program's worth of frames in one call: the
+        exported program whose length matches the input (the fused
+        weight-resident kernel when the bundle was exported with
+        ``cfg.pallas_serve``)."""
+        if not self._chunks:
             raise ValueError("bundle was exported without a chunk program "
                              "(export_serving_bundle(chunk_len=K))")
-        K = int(self.manifest["chunk_len"])
         frames = sig_mp._sequence_frames(j2dc, accc, oric, None, False,
                                          gravityc)
-        if frames["j2dc"].shape[0] != K:
-            raise ValueError(f"chunk program is fixed at {K} frames")
-        self.carry, out = self._chunk(self._chunk_params, self.carry,
-                                      frames)
+        K = int(frames["j2dc"].shape[0])
+        if K not in self._chunks:
+            raise ValueError(
+                f"no chunk program for {K} frames (exported lengths: "
+                f"{sorted(self._chunks)})")
+        self.carry, out = self._chunks[K](self._chunk_params, self.carry,
+                                          frames)
         return out

@@ -159,3 +159,35 @@ def test_chunk_export_pallas_serve(world, tmp_path):
         np.testing.assert_allclose(np.asarray(tb), np.asarray(tn), atol=3e-4)
     with pytest.raises(ValueError):
         bundle.forward_chunk(j2[:3], ac[:3], orc[:3])
+
+
+def test_multi_length_chunk_export(world, tmp_path):
+    r"""extra_chunk_lens: one artifact with several XLA-scan chunk programs;
+    forward_chunk dispatches on input length, and a K-then-2K pair advances
+    state identically to the per-frame step (the differencing pair bench.py
+    uses for the loaded bundle's RTT-free device cost)."""
+    model, params = world
+    cfg = SigMPConfig()
+    path = str(tmp_path / "bundle_multi")
+    manifest = export_serving_bundle(params, model, cfg, path,
+                                     platforms=("cpu",), chunk_len=4,
+                                     extra_chunk_lens=(8,))
+    assert manifest["chunk_mode"] == "xla_scan"
+    assert manifest["extra_chunk_lens"] == [8]
+    assert os.path.exists(os.path.join(path, "chunk.bin"))
+    assert os.path.exists(os.path.join(path, "chunk_8.bin"))
+
+    bundle = ServingBundle.load(path)
+    net = sig_mp.StreamingNet(params, model, cfg)
+    j2, ac, orc = inputs(13, seed=7)
+    bundle.forward_online(j2[0], ac[0], orc[0], first_frame=True)
+    net.forward_online(j2[0], ac[0], orc[0], first_frame=True)
+    pb4, tb4 = bundle.forward_chunk(j2[1:5], ac[1:5], orc[1:5])
+    pn4, tn4 = net.forward_chunk(j2[1:5], ac[1:5], orc[1:5])
+    np.testing.assert_allclose(np.asarray(pb4), np.asarray(pn4), atol=3e-4)
+    pb8, tb8 = bundle.forward_chunk(j2[5:13], ac[5:13], orc[5:13])
+    pn8, tn8 = net.forward_chunk(j2[5:13], ac[5:13], orc[5:13])
+    np.testing.assert_allclose(np.asarray(pb8), np.asarray(pn8), atol=3e-4)
+    np.testing.assert_allclose(np.asarray(tb8), np.asarray(tn8), atol=3e-4)
+    with pytest.raises(ValueError):
+        bundle.forward_chunk(j2[:6], ac[:6], orc[:6])
