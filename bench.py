@@ -53,8 +53,14 @@ PINNED_BASELINE_FPS = 14.76
 TAIL_POSE_P50_BOUND = 0.02    # f32 tail kernel vs XLA f32 tail
 TAIL_TRAN_BOUND = 0.02
 SERVE_POSE_P50_BOUND = 0.08   # bf16 serve kernel vs XLA bf16 scan
+SERVE_POSE_P95_BOUND = 0.3    # p95 sits between the median and the
+                              # Gram-Schmidt-outlier max (VERDICT r4 item 4)
 SERVE_TRAN_BOUND = 0.02
 INT8_TRAN_BOUND = 0.1         # int8-resident serve vs bf16 XLA scan
+# int8 serve is an APPROXIMATE mode: its real quality contract is the
+# end-metric acceptance (tests/test_quantization.py::TestEndMetricAcceptance),
+# asserted on-chip by the serve section each round (VERDICT r4 item 3)
+END_METRIC_BOUND_MM = 2.0
 
 
 def _parity_metrics(pose_a, tran_a, pose_b, tran_b):
@@ -62,20 +68,24 @@ def _parity_metrics(pose_a, tran_a, pose_b, tran_b):
     tran [T,3]) trajectories. The pose MAX is dominated by r6d->R
     orthonormalization blow-ups on near-degenerate frames (random weights
     produce ill-conditioned r6d outputs; docs/PERFORMANCE.md), so the
-    asserted bound uses the per-frame MEDIAN plus the translation max —
-    translation integrates every gate/branch decision, so a semantic
-    divergence (a flipped branch) shows up there immediately."""
+    asserted bound uses the per-frame MEDIAN (plus the p95 where a bound is
+    given) and the translation max — translation integrates every
+    gate/branch decision, so a semantic divergence (a flipped branch) shows
+    up there immediately."""
     dp = jnp.abs(pose_a - pose_b).max(axis=(1, 2, 3))
     return {
         "pose_frame_p50_max_abs_diff": round(
             float(jnp.percentile(dp, 50)), 6),
+        "pose_frame_p95_max_abs_diff": round(
+            float(jnp.percentile(dp, 95)), 6),
         "pose_max_abs_diff": round(float(dp.max()), 6),
+        "pose_argmax_frame": int(jnp.argmax(dp)),
         "tran_max_abs_diff": round(
             float(jnp.abs(tran_a - tran_b).max()), 6),
     }
 
 
-def _bound_parity(metrics, pose_p50_bound, tran_bound):
+def _bound_parity(metrics, pose_p50_bound, tran_bound, pose_p95_bound=None):
     r"""Assert the acceptance bound on a parity summary (VERDICT r3 item 4):
     records the bound in the metrics and returns an error string (section
     failure) when exceeded, None when within bounds."""
@@ -83,13 +93,41 @@ def _bound_parity(metrics, pose_p50_bound, tran_bound):
                          "tran_max": tran_bound}
     ok = (metrics["pose_frame_p50_max_abs_diff"] <= pose_p50_bound
           and metrics["tran_max_abs_diff"] <= tran_bound)
+    if pose_p95_bound is not None:
+        metrics["bounds"]["pose_frame_p95"] = pose_p95_bound
+        ok = ok and (metrics["pose_frame_p95_max_abs_diff"]
+                     <= pose_p95_bound)
     metrics["parity_ok"] = ok
     if not ok:
         return (f"parity bound exceeded: pose_p50="
                 f"{metrics['pose_frame_p50_max_abs_diff']} "
-                f"(bound {pose_p50_bound}), tran_max="
+                f"(bound {pose_p50_bound}), pose_p95="
+                f"{metrics['pose_frame_p95_max_abs_diff']} "
+                f"(bound {pose_p95_bound}), tran_max="
                 f"{metrics['tran_max_abs_diff']} (bound {tran_bound})")
     return None
+
+
+def _r6d_conditioning(r6d, frame_idx):
+    r"""Orthonormalization conditioning of one frame's raw rnn7 r6d head
+    output (VERDICT r4 item 4): Gram-Schmidt r6d->R divides by the first
+    column's norm and by the rejection's norm, so a near-zero column or
+    near-parallel column pair amplifies bf16 rounding into the O(0.1-1)
+    pose outliers the parity MAX records. Returns the argmax frame's worst
+    per-joint numbers plus the whole-trajectory minima for context."""
+    r = np.asarray(r6d, np.float32).reshape(r6d.shape[0], 24, 6)
+    a, b = r[..., :3], r[..., 3:]
+    na = np.linalg.norm(a, axis=-1)
+    nb = np.linalg.norm(b, axis=-1)
+    cos = np.abs((a * b).sum(-1) / np.maximum(na * nb, 1e-20))
+    i = int(frame_idx)
+    return {
+        "argmax_frame": i,
+        "frame_min_col_norm": round(float(min(na[i].min(), nb[i].min())), 5),
+        "frame_max_cos_defect": round(float(cos[i].max()), 5),
+        "traj_min_col_norm": round(float(min(na.min(), nb.min())), 5),
+        "traj_max_cos_defect": round(float(cos.max()), 5),
+    }
 
 
 def _measure_reference_cpu_fps(j2dc, accc, oric, n_frames=40):
@@ -120,68 +158,130 @@ def _measure_reference_cpu_fps(j2dc, accc, oric, n_frames=40):
         return 60.0, f"reference unavailable ({type(e).__name__}); 60 FPS design constant"
 
 
-def _carry_forward_bundle(bundle, state_path, allow_store=True):
-    r"""Persist a PROVEN bundle result; attach it as ``last_good`` on failure.
-
-    Mutates ``bundle`` in place. Success (export + load both ok) overwrites
-    the state file with a timestamped copy; a failed export reads it back
-    into ``bundle["last_good"]`` so a tunnel flap during the round-end run
-    does not erase a previously proven export from the artifact.
-    ``allow_store=False`` (CPU fallback run) keeps the read-back path but
-    never records an off-chip export as chip proof.
-    """
-    try:
-        if (allow_store and bundle and bundle.get("export_ok")
-                and bundle.get("load_run_ok")):
-            keep = {k: v for k, v in bundle.items() if k != "last_good"}
-            with open(state_path, "w") as fh:
-                json.dump({"measured_at": time.strftime(
-                    "%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
-                    "bundle": keep}, fh)
-        elif (bundle is not None and not bundle.get("export_ok")
-                and os.path.exists(state_path)):
-            with open(state_path) as fh:
-                bundle["last_good"] = json.load(fh)
-    except Exception:  # noqa: BLE001 - state is best-effort
-        pass
-
-
-# optional extra.* sections the carry-forward below persists between runs
+# optional extra.* sections the carry-forward below persists between runs.
+# The store is a COMMITTED file (docs/bench_last_good.json): the round-end
+# driver may run in a freshly recreated workspace, where a gitignored state
+# file would silently erase every carried proof (VERDICT r4 weak 3).
 _CARRIED_SECTIONS = (
     "device_p50_bf16_ms", "tunnel_per_dispatch_p50_ms", "smplify_refine_fps",
     "int8c_fps", "batched_bf16_fps", "train_fps", "pallas", "multistream",
-    "pallas_tail", "pallas_serve", "serving_bundle_chunk",
+    "pallas_tail", "pallas_serve", "serving_bundle", "serving_bundle_chunk",
 )
 
+# completeness floor per section: a deadline-truncated partial result (e.g.
+# train_fps breaking mid-loop after two modules) must not overwrite a
+# complete stored proof (ADVICE r4). The general superset rule in
+# _carry_forward_sections handles shrinkage against an existing store; this
+# map additionally rejects partials when the store is still empty.
+_SECTION_REQUIRED_KEYS = {
+    "train_fps": frozenset(
+        ("rnn2", "rnn3", "rnn4", "rnn6", "rnn7", "rnn8")),
+    "serving_bundle": frozenset(("export_ok", "load_run_ok")),
+    "serving_bundle_chunk": frozenset(("export_ok", "load_run_ok")),
+}
 
-def _section_proven(val):
-    r"""Is this live section value a PROOF worth persisting?
+# stored proofs older than this are NOT carried into an artifact: a
+# last_good from a previous round would otherwise satisfy a future round
+# silently (VERDICT r4 weak 3). ~2 rounds of slack over the ~12 h round.
+_LAST_GOOD_MAX_AGE_H = float(os.environ.get("BENCH_LAST_GOOD_MAX_AGE_H",
+                                            "30"))
 
-    ``None`` (starved/skipped) is not; a dict whose top-level ``*_ok``
-    flags include an explicit ``False`` (e.g. a chunk-artifact export that
-    timed out through a flapping tunnel) is a recorded failure, not proof —
-    it must neither overwrite a stored success nor block carrying it."""
-    if val is None:
-        return False
+
+def _ok_flags_ok(val):
+    r"""No ``*_ok: False`` anywhere in the nested value (ADVICE r4: a
+    section whose on-chip parity bound FAILED records ``parity_ok: false``
+    nested under ``res["parity"]`` — that is a recorded failure, not
+    proof)."""
     if isinstance(val, dict):
-        return all(v is not False
-                   for k, v in val.items() if k.endswith("_ok"))
+        for k, v in val.items():
+            if k.endswith("_ok") and v is False:
+                return False
+            if not _ok_flags_ok(v):
+                return False
+    elif isinstance(val, (list, tuple)):
+        return all(_ok_flags_ok(v) for v in val)
     return True
 
 
-def _carry_forward_sections(extra, state_path):
+def _timings_sane(val):
+    r"""No negative timing/throughput anywhere in the nested value (ADVICE
+    r4: chained differencing can go negative when a device-side transient
+    lands inside one timing segment — cf. bench_runs_r04 run8's multistream
+    -0.176 ms/tick; such a section is nonsense, not proof). Scalars under
+    ms/fps/seconds-ish keys must be >= 0; sample lists may contain stray
+    negative entries (differencing noise) but their median must not be."""
+    if isinstance(val, dict):
+        for k, v in val.items():
+            timing_key = any(t in k for t in ("_ms", "ms_", "fps",
+                                              "seconds", "samples"))
+            if isinstance(v, bool):
+                continue
+            if isinstance(v, (int, float)):
+                if timing_key and v < 0:
+                    return False
+            elif isinstance(v, (list, tuple)):
+                nums = [x for x in v
+                        if isinstance(x, (int, float))
+                        and not isinstance(x, bool)]
+                if timing_key and nums and float(np.median(nums)) < 0:
+                    return False
+            elif not _timings_sane(v):
+                return False
+    return True
+
+
+def _section_proven(val, name=None):
+    r"""Is this live section value a PROOF worth persisting?
+
+    ``None`` (starved/skipped) is not. A dict with any nested ``*_ok:
+    False`` (failed parity bound, timed-out export) is a recorded failure.
+    A dict with a negative timing aggregate is a measurement transient.
+    A dict missing its section's required keys is a deadline-truncated
+    partial. None of these may overwrite or block a stored proof."""
+    if val is None:
+        return False
+    if isinstance(val, bool):
+        return val
+    if isinstance(val, (int, float)):
+        return val > 0
+    if isinstance(val, dict):
+        required = _SECTION_REQUIRED_KEYS.get(name, frozenset())
+        if not required.issubset(val):
+            return False
+        return _ok_flags_ok(val) and _timings_sane(val)
+    return True
+
+
+def _age_hours(measured_at):
+    try:
+        then = time.mktime(time.strptime(measured_at, "%Y-%m-%dT%H:%M:%SZ"))
+        return (time.mktime(time.gmtime()) - then) / 3600.0
+    except Exception:  # noqa: BLE001 - unparseable: treat as stale
+        return float("inf")
+
+
+def _carry_forward_sections(extra, state_path, skipped=None):
     r"""Persist every measured optional section; surface prior proof for nulls.
 
     A run in this environment routinely loses optional sections to tunnel
     flaps / budget starvation (docs/bench_runs_r04: run2 and run4 lost
     everything after the core measurements), so the one artifact the driver
     records per round under-reports what the repo has proven. For each
-    section in ``_CARRIED_SECTIONS``: a non-null live value overwrites that
-    section's on-disk state (timestamped); a null one pulls the stored copy
-    into ``extra["last_good"][name]``. Carried values are NEVER written
-    into the live slots — a starved slot stays null and the prior proof
-    sits adjacent under ``last_good`` with its measurement time, so live
-    and carried evidence cannot be confused.
+    section in ``_CARRIED_SECTIONS``:
+
+    * a PROVEN live value (``_section_proven``) overwrites that section's
+      on-disk state (timestamped) — unless the stored value is a strict
+      superset of its keys (a complete prior proof must not be replaced by
+      a truncated fresh one; the fresh value still lands in the live slot);
+    * an unproven/null one pulls the stored copy into
+      ``extra["last_good"][name]`` — if it is younger than
+      ``_LAST_GOOD_MAX_AGE_H`` (a stale proof from an earlier round must
+      not silently satisfy this one; the rejection is recorded in
+      ``skipped``).
+
+    Carried values are NEVER written into the live slots — a starved slot
+    stays null and the prior proof sits adjacent under ``last_good`` with
+    its measurement time, so live and carried evidence cannot be confused.
     """
     state = {}
     try:
@@ -195,16 +295,31 @@ def _carry_forward_sections(extra, state_path):
     carried = {}
     for name in _CARRIED_SECTIONS:
         val = extra.get(name)
-        if _section_proven(val):
-            state[name] = {"measured_at": now, "value": val,
-                           "device": device}
-        elif name in state:
-            carried[name] = state[name]
+        stored = state.get(name)
+        if _section_proven(val, name):
+            old = (stored or {}).get("value")
+            if (isinstance(val, dict) and isinstance(old, dict)
+                    and not set(old).issubset(val)):
+                # fresh proof is less complete than the stored one: keep
+                # the richer store, surface it adjacent to the live partial
+                carried[name] = stored
+            else:
+                state[name] = {"measured_at": now, "value": val,
+                               "device": device}
+        elif stored is not None:
+            age = _age_hours(stored.get("measured_at", ""))
+            if age <= _LAST_GOOD_MAX_AGE_H:
+                carried[name] = stored
+            elif skipped is not None and name not in skipped:
+                skipped[name] = (
+                    f"stored proof stale ({age:.0f}h > "
+                    f"{_LAST_GOOD_MAX_AGE_H:.0f}h; measured_at="
+                    f"{stored.get('measured_at')}) — not carried")
     if carried:
         extra["last_good"] = carried
     try:
         with open(state_path, "w") as fh:
-            json.dump(state, fh)
+            json.dump(state, fh, indent=1)
     except Exception:  # noqa: BLE001 - state is best-effort
         pass
 
@@ -231,6 +346,9 @@ def main():
     watchdog = threading.Timer(hard_s, _die)
     watchdog.daemon = True
     watchdog.start()
+    # subprocess export budgets must stay clear of the watchdog: an export
+    # that straddles it loses the WHOLE artifact, not just its section
+    hard_end = time.perf_counter() + hard_s
 
     # The tunneled TPU flaps (observed: up a few minutes per hour). If the
     # bench starts during an outage, wait a bounded while for the tunnel —
@@ -323,6 +441,30 @@ def main():
     params = sig_mp.init_params(jax.random.PRNGKey(0))  # full-size bank
     bench_dtype = os.environ.get("BENCH_DTYPE", "f32")
 
+    # Every skipped optional section records WHY (VERDICT r4 weak 4: six
+    # null sections with section_errors also null were indistinguishable
+    # between "failed", "disabled" and "starved"). The taxonomy:
+    # "disabled: <ENV>=0" | "skipped: BENCH_DTYPE=..." | "starved: ..."
+    # | section-specific reasons; failures go to section_errors instead.
+    sections_skipped = {}
+
+    def want(name, env_key, needs_f32=False, min_budget_s=0.0):
+        if env_key and os.environ.get(env_key, "1") == "0":
+            sections_skipped[name] = f"disabled: {env_key}=0"
+            return False
+        if needs_f32 and bench_dtype != "f32":
+            sections_skipped[name] = (
+                f"skipped: BENCH_DTYPE={bench_dtype} (section compares "
+                "against the f32 default weights)")
+            return False
+        remaining = deadline - time.perf_counter()
+        if remaining < min_budget_s:
+            sections_skipped[name] = (
+                f"starved: soft deadline ({remaining:.0f}s left < "
+                f"{min_budget_s:.0f}s section budget)")
+            return False
+        return True
+
     def int8c_setup(p):
         r"""(quantized params, int8-MXU cfg, jitted batched fn) — the single
         definition of the int8c configuration (approximate serving mode:
@@ -388,11 +530,6 @@ def main():
             jax.block_until_ready(qbatched(qparams, frames))
         return B * T / ((time.perf_counter() - t0) / reps)
 
-    int8c_fps = None
-    if (bench_dtype == "f32" and os.environ.get("BENCH_INT8C", "1") != "0"
-            and time.perf_counter() < deadline):
-        int8c_fps = guarded("int8c", run_int8c)
-
     # exact-mode bf16 batched throughput (weights cast, f32 carry/geometry)
     def run_batched_bf16():
         from robustcap_tpu.nn.rnn import cast_params
@@ -402,12 +539,6 @@ def main():
         for _ in range(reps):
             jax.block_until_ready(batched(pb, frames))
         return B * T / ((time.perf_counter() - t0) / reps)
-
-    batched_bf16_fps = None
-    if (bench_dtype == "f32"
-            and os.environ.get("BENCH_BATCHED_BF16", "1") != "0"
-            and time.perf_counter() < deadline):
-        batched_bf16_fps = guarded("batched_bf16", run_batched_bf16)
 
     # -- on-device streaming step latency (B=1), RTT-free by differencing --
     # Uses the TRUE single-stream scan (forward_offline, no vmap): it
@@ -440,10 +571,6 @@ def main():
     device_p50_ms = float(np.percentile(per_step, 50))
 
     # -- AOT serving bundle on the real backend (VERDICT r2 item 6) --------
-    # Runs RIGHT AFTER the two core measurements, BEFORE every optional
-    # perf section (VERDICT r3 item 2: in round 3 this section ran last and
-    # was starved down to its 30 s floor by the sections before it, while
-    # the export itself needs ~65 s) — and its budget floor is 120 s.
     # Export runs in a SUBPROCESS under a hard timeout: tpu-platform
     # jax.export lowering through the tunneled backend is a documented
     # hang hazard (docs/PERFORMANCE.md) — this either proves it fixed or
@@ -485,8 +612,18 @@ def main():
     def run_bundle():
         import tempfile
         bdir = tempfile.mkdtemp(prefix="rc_bundle_")
+        # two XLA-scan chunk programs (K, 2K) ride along with the per-frame
+        # step: differencing one K-frame dispatch against one 2K-frame
+        # dispatch measures the LOADED artifact's per-frame device cost with
+        # the tunnel RTT cancelled (VERDICT r4 item 6 — dispatch_p50_ms is
+        # pure RTT through this tunnel and says nothing about the program)
+        Kb = max(2, min(int(os.environ.get("BENCH_BUNDLE_XLA_CHUNK", 120)),
+                        T // 4))  # the roll pool must exceed 2K frames
         export_ok, reason, export_s = export_sub(
-            bdir, {}, min(300.0, max(120.0, deadline - time.perf_counter())))
+            bdir, {"kw": ", chunk_len=%d, extra_chunk_lens=(%d,)"
+                         % (Kb, 2 * Kb)},
+            min(360.0, max(150.0, deadline - time.perf_counter()),
+                max(60.0, hard_end - 45.0 - time.perf_counter())))
         bundle = {"export_ok": export_ok,
                   "export_seconds": round(export_s, 1),
                   "reason": reason}
@@ -507,25 +644,33 @@ def main():
                 bundle["load_run_ok"] = True
                 bundle["dispatch_p50_ms"] = round(
                     float(np.percentile(lat, 50) * 1e3), 3)
+                # loaded-artifact per-frame device cost, RTT-free: roll the
+                # inputs per rep (the relay caches identical dispatches)
+                out = []
+                for i in range(5):
+                    a = (i + 1) % (T - 2 * Kb)
+                    j_r = np.roll(j2dc[0], a, 0)
+                    a_r = np.roll(accc[0], a, 0)
+                    o_r = np.roll(oric[0], a, 0)
+                    t0 = time.perf_counter()
+                    _, tr = sb.forward_chunk(j_r[:Kb], a_r[:Kb], o_r[:Kb])
+                    jax.block_until_ready(tr)
+                    t1 = time.perf_counter()
+                    _, tr = sb.forward_chunk(j_r[:2 * Kb], a_r[:2 * Kb],
+                                             o_r[:2 * Kb])
+                    jax.block_until_ready(tr)
+                    t2 = time.perf_counter()
+                    if i > 0:  # first pair warms both chunk programs
+                        out.append(((t2 - t1) - (t1 - t0)) / Kb * 1e3)
+                bundle["device_p50_ms"] = round(
+                    float(np.percentile(out, 50)), 4)
+                bundle["device_samples_ms"] = [round(x, 4) for x in out]
+                bundle["chunk_len"] = Kb
             except Exception as e:  # noqa: BLE001 - report, don't die
                 bundle["load_run_ok"] = False
                 bundle["reason"] = f"{type(e).__name__}: {e}"[:400]
 
         return bundle
-
-    bundle = None
-    if os.environ.get("BENCH_BUNDLE", "1") != "0":
-        bundle = guarded("serving_bundle", run_bundle)
-        # Carry-forward (VERDICT r3 item 2): the tunneled backend flaps for
-        # tens of minutes at a time, and an export that catches a flap
-        # times out — that must not erase a previously PROVEN export from
-        # the round artifact. On success, persist the result next to the
-        # compile cache (untracked); on failure, attach it timestamped and
-        # clearly labeled as ``last_good`` alongside this run's failure.
-        _carry_forward_bundle(bundle, os.path.join(
-            os.path.dirname(os.path.abspath(__file__)),
-            ".bench_last_good_bundle.json"),
-            allow_store="TPU" in str(jax.devices()[0]))
 
     # same differencing with bfloat16 weights (exact-mode fast serving
     # dtype — halves the bank's weight traffic; docs/PERFORMANCE.md)
@@ -543,11 +688,6 @@ def main():
             t2 = time.perf_counter()
             out.append(((t2 - t1) - (t1 - t0)) / K * 1e3)
         return float(np.percentile(out, 50))
-
-    device_p50_bf16_ms = None
-    if (bench_dtype == "f32" and os.environ.get("BENCH_P50_BF16", "1") != "0"
-            and time.perf_counter() < deadline):
-        device_p50_bf16_ms = guarded("p50_bf16", run_p50_bf16)
 
     # -- fused geometry-tail Pallas kernel (ops/pallas_tail.py): the whole
     # post-heads tail (r6d->R, IK, FK, translation/floor, 33-landmark LBS)
@@ -595,11 +735,6 @@ def main():
                 diff_p50(cast_params(params, jnp.bfloat16)), 4)
         return res
 
-    tail = None
-    if (bench_dtype == "f32" and os.environ.get("BENCH_TAIL", "1") != "0"
-            and time.perf_counter() < deadline):
-        tail = guarded("pallas_tail", run_p50_tail)
-
     # -- whole-step weight-resident serving kernel (ops/pallas_serve.py):
     # the entire frame loop in ONE Pallas launch per chunk, bank weights
     # VMEM-resident across frames (the B=1 scan is HBM-weight-bound —
@@ -633,13 +768,32 @@ def main():
         # on-device parity vs the XLA bf16 scan (same weights, same
         # frames), bounded (VERDICT r3 item 4): both sides compute in bf16
         # but with different fusion/accumulation order, so per-frame drift
-        # compounds through the Ks-frame carry; the bound is on the
-        # per-frame median pose diff + translation max.
-        pa, ta = single(pb, sv_one)
+        # compounds through the Ks-frame carry; the bounds are on the
+        # per-frame median + p95 pose diff and the translation max. The
+        # XLA side taps the raw rnn7 r6d head (return_r6d) so the MAX
+        # outlier's Gram-Schmidt conditioning is MEASURED, not asserted
+        # (VERDICT r4 item 4): a blown-up frame should coincide with a
+        # near-zero r6d column or a near-parallel column pair.
+        want_cond = os.environ.get("BENCH_SERVE_COND", "1") != "0"
+        r6d = None
+        if want_cond:
+            single_r6d = jax.jit(lambda p, f: sig_mp.forward_offline(
+                p, model, cfg, f["j2dc"], f["accc"], f["oric"],
+                first_frame=True, gravityc=f["gravityc"][0],
+                return_r6d=True))
+            pa, ta, r6d = single_r6d(pb, sv_one)
+        else:
+            sections_skipped["pallas_serve.conditioning"] = (
+                "disabled: BENCH_SERVE_COND=0")
+            pa, ta = single(pb, sv_one)
         ps, ts = fwd(arrs, pb, sv_one)
         parity = _parity_metrics(pa, ta, ps, ts)
         err = _bound_parity(parity, pose_p50_bound=SERVE_POSE_P50_BOUND,
-                            tran_bound=SERVE_TRAN_BOUND)
+                            tran_bound=SERVE_TRAN_BOUND,
+                            pose_p95_bound=SERVE_POSE_P95_BOUND)
+        if r6d is not None:
+            parity["r6d_conditioning"] = _r6d_conditioning(
+                r6d, parity["pose_argmax_frame"])
         if err:
             section_errors["pallas_serve_parity"] = err
 
@@ -654,11 +808,13 @@ def main():
                         **{k: jnp.roll(base[k], i, axis=0)
                            for k in ("j2dc", "accc", "oric")})
 
+        serve_reps = int(os.environ.get("BENCH_SERVE_REPS", 5))
+
         def diff_p50(f, a, p):
             jax.block_until_ready(f(a, p, sv_one))
             jax.block_until_ready(f(a, p, sv_two))
             out = []
-            for i in range(6):
+            for i in range(serve_reps):
                 s1, s2 = shifted(sv_one, i + 1), shifted(sv_two, i + 1)
                 jax.block_until_ready((s1, s2))
                 t0 = time.perf_counter()
@@ -679,7 +835,10 @@ def main():
 
         # int8-resident gate bank: the whole quantized bank lives in VMEM,
         # zero per-frame weight HBM traffic (approximate int8c semantics)
-        if time.perf_counter() < deadline:
+        if time.perf_counter() >= deadline:
+            sections_skipped["pallas_serve.int8"] = (
+                "starved: soft deadline before the int8 sub-section")
+        else:
             from robustcap_tpu.nn.rnn import quantize_params
             import dataclasses
             qp_s = quantize_params(params)
@@ -720,10 +879,46 @@ def main():
             res["serve_int8_samples"] = int8_samples
             res["int8_parity"] = parity8
 
+            # int8 serve QUALITY gate (VERDICT r4 item 3): the pose-p50<1.0
+            # tripwire above is vacuous for rotation entries in [-1,1], so
+            # the real contract — <2 mm end-metric delta through the actual
+            # eval pipeline — is asserted here in the driver artifact, on a
+            # trimmed fixture, against the f32 XLA-scan baseline. (Formerly
+            # builder-run only: tools/quant_report.py --serve-end-metrics,
+            # docs/quant_report_tpu.json.)
+            if os.environ.get("BENCH_SERVE_QUALITY", "1") == "0":
+                sections_skipped["pallas_serve.quality"] = (
+                    "disabled: BENCH_SERVE_QUALITY=0")
+            elif deadline - time.perf_counter() < 30:
+                sections_skipped["pallas_serve.quality"] = (
+                    "starved: soft deadline before the end-metric gate")
+            else:
+                from robustcap_tpu.eval.quality import (
+                    serve_end_metric_deltas)
+                q = serve_end_metric_deltas(
+                    params, model,
+                    eval_frames=int(os.environ.get("BENCH_QUALITY_FRAMES",
+                                                   "64")),
+                    modes=("int8",))
+                delta = q["pallas_serve_int8_delta_mm"]
+                res["f32_end_metric_mm"] = q["f32_mm"]
+                res["int8_end_metric_delta_mm"] = delta
+                res["int8_end_metric_bound_mm"] = END_METRIC_BOUND_MM
+                qok = all(abs(v) < END_METRIC_BOUND_MM
+                          for v in delta.values())
+                res["int8_end_metric_ok"] = qok
+                if not qok:
+                    section_errors["pallas_serve_quality"] = (
+                        f"int8 serve end-metric delta exceeded "
+                        f"{END_METRIC_BOUND_MM} mm: {delta}")
+
         # live serving: throttled occluded frames skip BOTH wide stacks
         # (and the rnn6 weight DMA) inside the kernel — with live_mode's
         # conf_range the uniform(0.3, 1) confidences are ~79% occluded
-        if time.perf_counter() < deadline:
+        if time.perf_counter() >= deadline:
+            sections_skipped["pallas_serve.live"] = (
+                "starved: soft deadline before the live-mode sub-section")
+        else:
             import dataclasses
             cfgl = SigMPConfig.live_mode()
 
@@ -744,11 +939,6 @@ def main():
             res["serve_live_samples"] = live_samples
         return res
 
-    serve = None
-    if (bench_dtype == "f32" and os.environ.get("BENCH_SERVE", "1") != "0"
-            and time.perf_counter() < deadline):
-        serve = guarded("pallas_serve", run_serve)
-
     # wall-clock per-frame dispatch through the tunnel (context only; the
     # ~30-40 ms RTT of this environment's network-attached TPU dominates)
     def run_tunnel_latency():
@@ -763,14 +953,6 @@ def main():
             jax.block_until_ready(tr)
             lat.append(time.perf_counter() - s)
         return float(np.percentile(lat, 50) * 1e3)
-
-    tunnel_p50_ms = None
-    if (os.environ.get("BENCH_TUNNEL", "1") != "0"
-            and time.perf_counter() < deadline):
-        tunnel_p50_ms = guarded("tunnel_latency", run_tunnel_latency)
-
-    # -- baseline: the real reference on this host's CPU -------------------
-    ref_fps, baseline_kind = _measure_reference_cpu_fps(j2dc, accc, oric)
 
     # -- SMPLify batched refinement throughput (VERDICT item 2) ------------
     def run_smplify():
@@ -797,11 +979,6 @@ def main():
         t0 = time.perf_counter()
         jax.block_until_ready(fit(*args))
         return Bs * Ts / (time.perf_counter() - t0)
-
-    smplify_fps = None
-    if (os.environ.get("BENCH_SMPLIFY", "1") != "0"
-            and time.perf_counter() < deadline):
-        smplify_fps = guarded("smplify", run_smplify)
 
     # -- training step throughput (VERDICT r2 item 3, r3 item 7) -----------
     # DP train step over a mesh of all attached devices (one chip here;
@@ -838,7 +1015,13 @@ def main():
         fps = {}
         for name, loss_fn in losses.items():
             if fps and time.perf_counter() > deadline:
-                break  # partial coverage beats a blown budget
+                # partial coverage beats a blown budget — but a partial is
+                # NOT stored as proof (_SECTION_REQUIRED_KEYS), and the why
+                # is recorded
+                sections_skipped["train_fps"] = (
+                    f"partial: soft deadline after {sorted(fps)} "
+                    "(remaining modules skipped)")
+                break
             i, o, h, dropout, with_init = RNN_SPECS[name]
             p = init_rnn_params(jax.random.PRNGKey(1), i, o, h, 2, with_init)
             tx = optax.chain(optax.clip_by_global_norm(1.0),
@@ -866,11 +1049,6 @@ def main():
             jax.block_until_ready(p)
             fps[name] = Tt * Bt / ((time.perf_counter() - t0) / reps_t)
         return fps
-
-    train_fps = {}
-    if (os.environ.get("BENCH_TRAIN", "1") != "0"
-            and time.perf_counter() < deadline):
-        train_fps = guarded("train", run_train, default={})
 
     # -- weight-stationary Pallas inertial path (VERDICT r2 item 1) --------
     # Three numbers, all RTT-free by chained differencing with DISTINCT
@@ -998,11 +1176,6 @@ def main():
                 res[f"{label}_samples"] = samples
         return res
 
-    pallas = None
-    if (os.environ.get("BENCH_PALLAS", "1") != "0"
-            and time.perf_counter() < deadline):
-        pallas = guarded("pallas", run_pallas)
-
     # -- multi-client serving aggregate (the StreamingMultiplexer's device
     # cost, streaming/multiplex.py): per-tick cost of the vmapped steady
     # step at S concurrent streams, measured RTT-free by K-vs-2K
@@ -1010,7 +1183,7 @@ def main():
     # multiplexer's per-tick dispatch). The B=1 serving step is
     # HBM-weight-bound (docs/PERFORMANCE.md), so S streams share one weight
     # read per tick and per-stream cost falls nearly S-fold until the MXU
-    # takes over. Runs LAST: a new section must not starve the proven ones.
+    # takes over.
     def run_multistream():
         from robustcap_tpu.nn.rnn import cast_params
         pb = cast_params(params, jnp.bfloat16)
@@ -1043,15 +1216,39 @@ def main():
             if i > 0:
                 out.append(((t2 - t1) - (t1 - t0)) / K * 1e3)
         tick = float(np.percentile(out, 50))
-        return {"streams": S, "ms_per_tick_bf16": round(tick, 4),
-                "ms_per_stream_bf16": round(tick / S, 4),
-                "samples_ms_per_tick": [round(x, 4) for x in out]}
+        res = {"streams": S, "ms_per_tick_bf16": round(tick, 4),
+               "ms_per_stream_bf16": round(tick / S, 4),
+               "samples_ms_per_tick": [round(x, 4) for x in out]}
 
-    multistream = None
-    if (bench_dtype == "f32"
-            and os.environ.get("BENCH_MULTISTREAM", "1") != "0"
-            and time.perf_counter() < deadline):
-        multistream = guarded("multistream", run_multistream)
+        # the REAL dispatch path's wall clock (ADVICE r4): one
+        # StreamingMultiplexer.step per tick pays the fixed per-dispatch
+        # cost the differencing above cancels by design — through this
+        # tunnel that is ~30-40 ms RTT, on a local host it is the PCIe/ICI
+        # launch overhead. Recorded so the ">100x headroom" framing carries
+        # its own caveat in the artifact.
+        if time.perf_counter() < deadline:
+            from robustcap_tpu.streaming.multiplex import (
+                StreamingMultiplexer)
+            mux = StreamingMultiplexer(pb, model, SigMPConfig.live_mode(),
+                                       capacity=S)
+            first = np.zeros(S, bool)
+            first[:] = True
+            mux.step(j2dc[:S, 0], accc[:S, 0], oric[:S, 0],
+                     first_frame=first)  # compile + start sessions
+            wall = []
+            for t in range(1, 12):
+                s0 = time.perf_counter()
+                _, tr = mux.step(j2dc[:S, t % T], accc[:S, t % T],
+                                 oric[:S, t % T])
+                jax.block_until_ready(tr)
+                wall.append(time.perf_counter() - s0)
+            res["wall_ms_per_tick_p50"] = round(
+                float(np.percentile(wall, 50) * 1e3), 3)
+            res["wall_note"] = ("one step() dispatch per tick, includes "
+                                "the fixed per-dispatch cost (tunnel RTT "
+                                "here) that the differenced ms_per_tick "
+                                "excludes")
+        return res
 
     # -- the --pallas-serve chunk-artifact bundle (VERDICT r3 item 2): the
     # K-frame whole-step weight-resident kernel as a serialized Mosaic
@@ -1076,7 +1273,8 @@ def main():
                            "jnp.bfloat16)\n"),
                    "cfg": "pallas_serve=True",
                    "kw": ", chunk_len=%d" % Kc},
-            min(300.0, max(90.0, deadline - time.perf_counter())))
+            min(300.0, max(90.0, deadline - time.perf_counter()),
+                max(60.0, hard_end - 45.0 - time.perf_counter())))
         chunk = {"export_ok": ok_c,
                  "export_seconds": round(export_s_c, 1),
                  "reason": reason_c, "chunk_len": Kc}
@@ -1106,13 +1304,62 @@ def main():
                 chunk["reason"] = f"{type(e).__name__}: {e}"[:400]
         return chunk
 
-    bundle_chunk = None
-    if (os.environ.get("BENCH_BUNDLE_SERVE", "1") != "0"
-            and bundle is not None and bundle.get("export_ok")
-            and deadline - time.perf_counter() > 60):
-        bundle_chunk = guarded("serving_bundle_chunk", run_bundle_chunk)
+    # ---- ordered execution plan (VERDICT r4 item 1) -----------------------
+    # The required core ran above (headline + B=1 p50). Optional sections
+    # run in this order: sections carrying NEW unproven evidence first
+    # (serve: p95/conditioning + the int8 end-metric gate; bundle: the
+    # loaded artifact's RTT-free device cost), then the cheap extras, then
+    # the expensive already-proven ones; the Pallas chunk-artifact export
+    # runs LAST (its export lowers the whole Mosaic program through the
+    # tunnel and would starve everything behind it). Every skip lands in
+    # extra.sections_skipped; every unproven/starved section surfaces its
+    # stored proof under extra.last_good (age-bounded).
+    results = {}
+    plan = [
+        ("pallas_serve", "BENCH_SERVE", True, 45.0, run_serve, None),
+        ("serving_bundle", "BENCH_BUNDLE", False, 100.0, run_bundle, None),
+        ("batched_bf16_fps", "BENCH_BATCHED_BF16", True, 10.0,
+         run_batched_bf16, None),
+        ("device_p50_bf16_ms", "BENCH_P50_BF16", True, 5.0,
+         run_p50_bf16, None),
+        ("pallas_tail", "BENCH_TAIL", True, 10.0, run_p50_tail, None),
+        ("int8c_fps", "BENCH_INT8C", True, 20.0, run_int8c, None),
+        ("tunnel_per_dispatch_p50_ms", "BENCH_TUNNEL", False, 5.0,
+         run_tunnel_latency, None),
+        ("smplify_refine_fps", "BENCH_SMPLIFY", False, 20.0,
+         run_smplify, None),
+        ("train_fps", "BENCH_TRAIN", False, 30.0, run_train, {}),
+        ("pallas", "BENCH_PALLAS", False, 30.0, run_pallas, None),
+        ("multistream", "BENCH_MULTISTREAM", True, 10.0,
+         run_multistream, None),
+    ]
+    for name, env_key, needs_f32, min_budget, fn, default in plan:
+        if want(name, env_key, needs_f32, min_budget):
+            results[name] = guarded(name, fn, default=default)
+        else:
+            results[name] = default
+
+    # the --pallas-serve chunk artifact needs a working plain export first
+    bundle = results["serving_bundle"]
+    results["serving_bundle_chunk"] = None
+    if not (bundle and bundle.get("export_ok")):
+        if "serving_bundle_chunk" not in sections_skipped:
+            sections_skipped["serving_bundle_chunk"] = (
+                "skipped: plain bundle export not proven this run "
+                "(prerequisite)")
+    elif want("serving_bundle_chunk", "BENCH_BUNDLE_SERVE", False, 60.0):
+        results["serving_bundle_chunk"] = guarded("serving_bundle_chunk",
+                                                  run_bundle_chunk)
+
+    # -- baseline: the real reference on this host's CPU -------------------
+    ref_fps, baseline_kind = _measure_reference_cpu_fps(j2dc, accc, oric)
 
     watchdog.cancel()
+
+    def _round(val, nd):
+        return None if val is None else round(val, nd)
+
+    train_fps = results["train_fps"] or {}
     result = {
         "metric": "aist_batched_eval_throughput",
         "value": round(batched_fps, 1),
@@ -1127,25 +1374,23 @@ def main():
             "vs_baseline_live": round(batched_fps / ref_fps, 2),
             "baseline_kind": baseline_kind,
             "device_step_method": "chained-scan differencing (RTT-free)",
-            "device_p50_bf16_ms": (None if device_p50_bf16_ms is None
-                                   else round(device_p50_bf16_ms, 4)),
-            "tunnel_per_dispatch_p50_ms": (
-                None if tunnel_p50_ms is None else round(tunnel_p50_ms, 3)),
-            "smplify_refine_fps": (None if smplify_fps is None
-                                   else round(smplify_fps, 1)),
-            "int8c_fps": (None if int8c_fps is None else round(int8c_fps, 1)),
-            "batched_bf16_fps": (None if batched_bf16_fps is None
-                                 else round(batched_bf16_fps, 1)),
+            "device_p50_bf16_ms": _round(results["device_p50_bf16_ms"], 4),
+            "tunnel_per_dispatch_p50_ms": _round(
+                results["tunnel_per_dispatch_p50_ms"], 3),
+            "smplify_refine_fps": _round(results["smplify_refine_fps"], 1),
+            "int8c_fps": _round(results["int8c_fps"], 1),
+            "batched_bf16_fps": _round(results["batched_bf16_fps"], 1),
             "train_fps": ({k: round(v, 1) for k, v in train_fps.items()}
                           or None),
-            "pallas": pallas,
-            "multistream": multistream,
-            "pallas_tail": tail,
-            "pallas_serve": serve,
-            "serving_bundle": bundle,
-            "serving_bundle_chunk": bundle_chunk,
+            "pallas": results["pallas"],
+            "multistream": results["multistream"],
+            "pallas_tail": results["pallas_tail"],
+            "pallas_serve": results["pallas_serve"],
+            "serving_bundle": results["serving_bundle"],
+            "serving_bundle_chunk": results["serving_bundle_chunk"],
             "serving_dtype": bench_dtype,
             "section_errors": section_errors or None,
+            "sections_skipped": sections_skipped or None,
             "section_seconds": section_seconds or None,
             "batch": B, "frames": T,
             "device": str(jax.devices()[0]),
@@ -1153,15 +1398,19 @@ def main():
     }
     # TPU runs only: a CPU run (tunnel-down fallback, or the CI smoke
     # driving main() at tiny sizes) must neither store its numbers as
-    # "proven" nor dress a CPU artifact with chip evidence
+    # "proven" nor dress a CPU artifact with chip evidence. The store is
+    # the COMMITTED docs/bench_last_good.json (VERDICT r4 weak 3: the
+    # gitignored state died with workspace recreation).
     if "TPU" in result["extra"]["device"]:
         try:
             _carry_forward_sections(result["extra"], os.path.join(
                 os.path.dirname(os.path.abspath(__file__)),
-                ".bench_last_good_sections.json"))
+                "docs", "bench_last_good.json"),
+                skipped=sections_skipped)
         except Exception as e:  # noqa: BLE001 - provenance is best-effort
             result["extra"]["last_good_error"] = (
                 f"{type(e).__name__}: {e}"[:200])
+        result["extra"]["sections_skipped"] = sections_skipped or None
     print(json.dumps(result))
 
 

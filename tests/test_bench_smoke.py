@@ -49,7 +49,7 @@ def test_emits_one_json_line_with_required_fields(bench_env):
     for key in ("baseline_fps_pinned", "baseline_fps_live",
                 "vs_baseline_live", "baseline_kind", "train_fps", "pallas",
                 "serving_bundle", "serving_bundle_chunk", "int8c_fps",
-                "serving_dtype", "section_seconds"):
+                "serving_dtype", "section_seconds", "sections_skipped"):
         assert key in extra
     # the headline multiplier divides by the PINNED healthy-host baseline
     # (VERDICT r3 item 5), so it cannot move with VM degradation
@@ -58,10 +58,43 @@ def test_emits_one_json_line_with_required_fields(bench_env):
                                        / bench.PINNED_BASELINE_FPS, 2)
 
 
+def test_every_skipped_section_records_why(bench_env):
+    r"""VERDICT r4 weak 4: a null section must be distinguishable between
+    'failed' (section_errors), 'disabled' and 'starved' (sections_skipped)
+    from the JSON alone."""
+    out = _run_main()
+    extra = out["extra"]
+    skipped = extra["sections_skipped"]
+    # env-disabled sections carry the disable reason
+    for name, env_key in (("smplify_refine_fps", "BENCH_SMPLIFY"),
+                          ("train_fps", "BENCH_TRAIN"),
+                          ("pallas", "BENCH_PALLAS"),
+                          ("serving_bundle", "BENCH_BUNDLE"),
+                          ("pallas_serve", "BENCH_SERVE"),
+                          ("multistream", "BENCH_MULTISTREAM")):
+        assert skipped[name] == f"disabled: {env_key}=0"
+    # the chunk bundle records its unmet prerequisite
+    assert "prerequisite" in skipped["serving_bundle_chunk"]
+    # nothing is null without a recorded reason or error
+    for name in bench_sections_nullable():
+        if extra.get(name) in (None, {}):
+            assert name in skipped or name in (extra["section_errors"]
+                                               or {}), name
+
+
+def bench_sections_nullable():
+    import bench
+    return bench._CARRIED_SECTIONS
+
+
 def test_train_section_reports_all_six_modules(bench_env):
     bench_env.setenv("BENCH_TRAIN", "1")
     bench_env.setenv("BENCH_TRAIN_FRAMES", "6")
     bench_env.setenv("BENCH_TRAIN_BATCH", "4")
+    # the execution plan's per-section budget floors (want()) would skip
+    # the section when a degraded 1-vCPU host burns the default smoke
+    # deadline on the core compiles — this test is about COVERAGE, not time
+    bench_env.setenv("BENCH_DEADLINE_S", "900")
     out = _run_main()
     tf = out["extra"]["train_fps"]
     assert set(tf) == {"rnn2", "rnn3", "rnn4", "rnn6", "rnn7", "rnn8"}
@@ -71,6 +104,7 @@ def test_train_section_reports_all_six_modules(bench_env):
 def test_pallas_section_reports_parity_and_timings(bench_env):
     bench_env.setenv("BENCH_PALLAS", "1")
     bench_env.setenv("BENCH_PALLAS_FRAMES", "4")
+    bench_env.setenv("BENCH_DEADLINE_S", "900")  # see train test above
     out = _run_main()
     pl = out["extra"]["pallas"]
     assert pl["kernel_vs_scan_max_abs_diff"] < 1e-3
@@ -106,56 +140,24 @@ def test_multistream_section_reports_per_stream_cost(bench_env):
                - ms["ms_per_tick_bf16"] / ms["streams"]) < 1e-3
 
 
-class TestBundleCarryForward:
-    r"""The last-good bundle state (VERDICT r3 item 2): a proven export
-    persists; a tunnel-flap failure attaches it instead of erasing it."""
-
-    def _good(self):
-        return {"export_ok": True, "load_run_ok": True,
-                "export_seconds": 95.5, "dispatch_p50_ms": 32.0,
-                "reason": None}
-
-    def test_success_persists_and_failure_reads_back(self, tmp_path):
-        import bench
-        state = str(tmp_path / "state.json")
-        good = self._good()
-        bench._carry_forward_bundle(good, state)
-        assert os.path.exists(state) and "last_good" not in good
-
-        failed = {"export_ok": False, "export_seconds": 232.2,
-                  "reason": "export lowering exceeded 232s"}
-        bench._carry_forward_bundle(failed, state)
-        lg = failed["last_good"]
-        assert lg["bundle"]["dispatch_p50_ms"] == 32.0
-        assert lg["measured_at"]  # timestamped, clearly labeled
-
-    def test_failure_without_state_adds_nothing(self, tmp_path):
-        import bench
-        failed = {"export_ok": False, "reason": "boom"}
-        bench._carry_forward_bundle(failed, str(tmp_path / "none.json"))
-        assert "last_good" not in failed
-
-    def test_new_success_does_not_nest_last_good(self, tmp_path):
-        import bench
-        import json as _json
-        state = str(tmp_path / "state.json")
-        bench._carry_forward_bundle(self._good(), state)
-        succeeded_after_fail = dict(self._good(), last_good={"old": True})
-        bench._carry_forward_bundle(succeeded_after_fail, state)
-        saved = _json.load(open(state))
-        assert "last_good" not in saved["bundle"]
+_SIX = {"rnn2": 1.0, "rnn3": 2.0, "rnn4": 3.0, "rnn6": 4.0, "rnn7": 5.0,
+        "rnn8": 6.0}
 
 
 class TestSectionCarryForward:
-    r"""The generalized last-good store (round 4): every optional section's
-    proven result persists between runs; a starved run surfaces the prior
-    proof under ``extra.last_good`` without touching the null live slot."""
+    r"""The unified last-good store (rounds 4-5): every optional section's
+    proven result persists between runs (committed docs/bench_last_good.json
+    in production); a starved run surfaces the prior proof under
+    ``extra.last_good`` without touching the null live slot. Round-5
+    hardening (ADVICE r4): nested ``*_ok: False`` and negative-timing
+    results are failures, partial results neither store nor overwrite, and
+    stale proofs are not carried."""
 
     def test_measured_sections_persist_and_null_ones_carry(self, tmp_path):
         import bench
         state = str(tmp_path / "state.json")
         run1 = {"pallas_serve": {"device_p50_serve_bf16_ms": 0.09},
-                "multistream": None, "train_fps": {"rnn4": 1.0e6}}
+                "multistream": None, "train_fps": dict(_SIX)}
         bench._carry_forward_sections(run1, state)
         assert "last_good" not in run1  # nothing stored yet for the null
 
@@ -167,7 +169,7 @@ class TestSectionCarryForward:
         lg = run2["last_good"]
         assert lg["pallas_serve"]["value"] == {
             "device_p50_serve_bf16_ms": 0.09}
-        assert lg["train_fps"]["value"] == {"rnn4": 1.0e6}
+        assert lg["train_fps"]["value"] == _SIX
         assert lg["pallas_serve"]["measured_at"]
         assert "multistream" not in lg  # measured live this run
 
@@ -197,12 +199,114 @@ class TestSectionCarryForward:
         # a failed export is a recorded failure, not proof: the stored
         # success must survive AND be carried alongside the live failure
         failed = {"serving_bundle_chunk": {
-            "export_ok": False, "reason": "export lowering exceeded 138s"}}
+            "export_ok": False, "load_run_ok": False,
+            "reason": "export lowering exceeded 138s"}}
         bench._carry_forward_sections(failed, state)
         assert failed["last_good"]["serving_bundle_chunk"]["value"][
             "dispatch_ms_per_frame"] == 0.39
         assert _json.load(open(state))["serving_bundle_chunk"]["value"][
             "export_ok"] is True
+
+    def test_bundle_export_ok_but_load_failed_still_carries(self, tmp_path):
+        r"""ADVICE r4 (low): export_ok=True + load_run_ok=False (chip
+        rejects the artifact / tunnel flap during load) is NOT proof — the
+        stored full success must be carried, not erased."""
+        import bench
+        state = str(tmp_path / "state.json")
+        good = {"serving_bundle": {"export_ok": True, "load_run_ok": True,
+                                   "dispatch_p50_ms": 32.0}}
+        bench._carry_forward_sections(good, state)
+        half = {"serving_bundle": {"export_ok": True, "load_run_ok": False,
+                                   "reason": "tunnel flap during load"}}
+        bench._carry_forward_sections(half, state)
+        assert half["last_good"]["serving_bundle"]["value"][
+            "dispatch_p50_ms"] == 32.0
+
+    def test_nested_parity_failure_is_not_proof(self, tmp_path):
+        r"""ADVICE r4 (medium): parity_ok:false nested under res['parity']
+        must neither persist as proof nor block carrying the stored one."""
+        import bench
+        import json as _json
+        state = str(tmp_path / "state.json")
+        good = {"pallas_serve": {"device_p50_serve_bf16_ms": 0.09,
+                                 "parity": {"parity_ok": True}}}
+        bench._carry_forward_sections(good, state)
+        bad = {"pallas_serve": {"device_p50_serve_bf16_ms": 0.08,
+                                "parity": {"parity_ok": False}}}
+        bench._carry_forward_sections(bad, state)
+        assert bad["last_good"]["pallas_serve"]["value"][
+            "device_p50_serve_bf16_ms"] == 0.09
+        assert _json.load(open(state))["pallas_serve"]["value"][
+            "parity"]["parity_ok"] is True
+
+    def test_negative_timing_is_not_proof(self, tmp_path):
+        r"""ADVICE r4 (medium): a negative differencing aggregate (cf.
+        bench_runs_r04 run8 multistream -0.176 ms/tick) is a transient,
+        not proof."""
+        import bench
+        state = str(tmp_path / "state.json")
+        good = {"multistream": {"streams": 8, "ms_per_tick_bf16": 0.134,
+                                "samples_ms_per_tick": [0.13, 0.14]}}
+        bench._carry_forward_sections(good, state)
+        bad = {"multistream": {"streams": 8, "ms_per_tick_bf16": -0.176,
+                               "samples_ms_per_tick": [-0.2, -0.18, 0.1]}}
+        bench._carry_forward_sections(bad, state)
+        assert bad["last_good"]["multistream"]["value"][
+            "ms_per_tick_bf16"] == 0.134
+        # negative scalar sections are equally not proof
+        neg = {"int8c_fps": -5.0}
+        bench._carry_forward_sections(neg, state)
+        assert "int8c_fps" not in (neg.get("last_good") or {})
+
+    def test_partial_train_fps_neither_stores_nor_overwrites(self, tmp_path):
+        r"""ADVICE r4 (medium): train_fps truncated mid-loop by the soft
+        deadline is a partial, not proof."""
+        import bench
+        import json as _json
+        state = str(tmp_path / "state.json")
+        partial = {"train_fps": {"rnn2": 1.0, "rnn3": 2.0}}
+        bench._carry_forward_sections(partial, state)
+        assert "train_fps" not in _json.load(open(state))
+
+        bench._carry_forward_sections({"train_fps": dict(_SIX)}, state)
+        partial2 = {"train_fps": {"rnn2": 9.0}}
+        bench._carry_forward_sections(partial2, state)
+        assert partial2["last_good"]["train_fps"]["value"] == _SIX
+        assert _json.load(open(state))["train_fps"]["value"] == _SIX
+
+    def test_less_complete_fresh_proof_keeps_richer_store(self, tmp_path):
+        r"""ADVICE r4 (medium): a proven-but-narrower fresh result (e.g. the
+        serve section without its int8/live sub-parts) must not overwrite a
+        stored superset; the richer proof is surfaced adjacent instead."""
+        import bench
+        import json as _json
+        state = str(tmp_path / "state.json")
+        full = {"pallas_serve": {"device_p50_serve_bf16_ms": 0.09,
+                                 "device_p50_serve_int8_ms": 0.04}}
+        bench._carry_forward_sections(full, state)
+        narrow = {"pallas_serve": {"device_p50_serve_bf16_ms": 0.10}}
+        bench._carry_forward_sections(narrow, state)
+        stored = _json.load(open(state))["pallas_serve"]["value"]
+        assert stored["device_p50_serve_int8_ms"] == 0.04
+        assert narrow["last_good"]["pallas_serve"]["value"] == stored
+
+    def test_stale_stored_proof_is_not_carried(self, tmp_path):
+        r"""VERDICT r4 weak 3: a last_good from an earlier round must not
+        silently satisfy this one — age-bounded, with the rejection
+        recorded."""
+        import bench
+        import json as _json
+        state = str(tmp_path / "state.json")
+        old = {"measured_at": "2026-01-01T00:00:00Z",
+               "value": {"streams": 8, "ms_per_tick_bf16": 0.1},
+               "device": "TPU"}
+        with open(state, "w") as fh:
+            _json.dump({"multistream": old}, fh)
+        skipped = {}
+        extra = {"multistream": None}
+        bench._carry_forward_sections(extra, state, skipped=skipped)
+        assert "multistream" not in (extra.get("last_good") or {})
+        assert "stale" in skipped["multistream"]
 
 
 class TestParityBounds:

@@ -145,43 +145,22 @@ def main(argv=None):
 
         # -- the modes that actually serve (VERDICT r3 item 8): the same
         # end-metric contract through the weight-resident Pallas kernel.
-        # Trajectories come from the B=1 serve-kernel path (batch builders
-        # strip pallas_serve, so evaluate_sequences can't run it directly);
-        # scoring then reuses the REAL eval aggregation via its result2
-        # cache-loading branch — identical metric code to the f32 run.
+        # One shared definition with the driver bench's on-chip gate
+        # (robustcap_tpu/eval/quality.py; bench.py asserts the int8 delta
+        # < 2 mm each round): trajectories from the B=1 serve-kernel path,
+        # scored through the REAL eval aggregation's result2 cache branch,
+        # deltas against the f32 B=1 scan on the same fixture corpus.
         if args.serve_end_metrics:
-            import tempfile
-
-            import torch
-
-            from robustcap_tpu.nn.rnn import cast_params
-
-            def serve_metrics(p, cfg):
-                pose_p, tran_p = [], []
-                for s in seqs:
-                    pose, tran = sig_mp.forward_offline(
-                        p, model, cfg, s.j2dc, s.accc, s.oric,
-                        first_tran=s.first_tran, first_frame=s.first_frame,
-                        gravityc=s.gravityc)
-                    pose_p.append(torch.from_numpy(
-                        np.array(pose, np.float32)))
-                    tran_p.append(torch.from_numpy(
-                        np.array(tran, np.float32)))
-                with tempfile.TemporaryDirectory() as td:
-                    cache = os.path.join(td, "result2.pt")
-                    torch.save([pose_p, tran_p], cache)
-                    out = evaluate_sequences(seqs, model=model,
-                                             cache_path=cache,
-                                             pad_to_multiple=args.eval_frames)
-                return {k: float(out[k]) for k in ("mpjpe", "pve", "pampjpe")}
-
-            m_sv16 = serve_metrics(cast_params(params, jnp.bfloat16),
-                                   SigMPConfig(pallas_serve=True))
-            m_sv8 = serve_metrics(qparams,
-                                  SigMPConfig(pallas_serve=True,
-                                              int8_compute=True))
-            end_metrics["pallas_serve_bf16_delta_mm"] = delta_mm(m_sv16)
-            end_metrics["pallas_serve_int8_delta_mm"] = delta_mm(m_sv8)
+            from robustcap_tpu.eval.quality import serve_end_metric_deltas
+            q = serve_end_metric_deltas(params, model,
+                                        eval_frames=args.eval_frames,
+                                        n_seq=2, n_cam=3,
+                                        modes=("bf16", "int8"))
+            end_metrics["pallas_serve_f32_scan_mm"] = q["f32_mm"]
+            end_metrics["pallas_serve_bf16_delta_mm"] = (
+                q["pallas_serve_bf16_delta_mm"])
+            end_metrics["pallas_serve_int8_delta_mm"] = (
+                q["pallas_serve_int8_delta_mm"])
 
     print(json.dumps({
         "frames": T,
