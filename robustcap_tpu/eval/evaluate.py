@@ -100,16 +100,18 @@ def cal_mpjpe(pose, gt_pose, cal_pampjpe: bool = False,
     return out if cal_pampjpe else out[:2]
 
 
-def _maybe_smplify(results, seqs, run_smplify: bool, model=None):
+def _maybe_smplify(results, seqs, run_smplify: bool, model=None, mesh=None):
     r"""Batched LBFGS refinement over whole groups of sequences: same
     hyperparameters as the reference's per-sequence call (lr=0.001, lbfgs,
     1 step, gate at 20000 — evaluate.py:89-90), but same-length sequences
-    refine together in one vmapped compiled program."""
+    refine together in one vmapped compiled program (lane axis sharded
+    over ``mesh`` when given — lanes are independent, so sharding is pure
+    data parallelism)."""
     if not run_smplify:
         return results
     from ..smplify.runner import refine_sequences_batched
     refined = refine_sequences_batched(results, seqs, lr=0.001, opt_steps=1,
-                                       model=model)
+                                       model=model, mesh=mesh)
     return [(np.asarray(p), np.asarray(t)) for p, t in refined]
 
 
@@ -145,7 +147,8 @@ def evaluate_sequences(seqs, params=None, model=None, cfg=SigMPConfig(),
         results = run_sequences(params, model, cfg, seqs, first_tran_mode,
                                 mesh=mesh, pad_to_multiple=pad_to_multiple,
                                 max_bucket=max_bucket)
-        results = _maybe_smplify(results, seqs, run_smplify, model=model)
+        results = _maybe_smplify(results, seqs, run_smplify, model=model,
+                                 mesh=mesh)
         pose_p = [r[0] for r in results]
         tran_p = [r[1] for r in results]
         if cache_path is not None:

@@ -35,6 +35,11 @@ def smooth_random_motion(rng: np.random.RandomState, T: int,
     r"""A smooth random pose/translation sequence: low-pass-filtered noise on
     axis-angle joints plus a slow root walk (world frame, y-up)."""
     def smooth(x, k=15):
+        # clamp the kernel to the sequence: convolve 'same' returns
+        # max(len, kernel), which for T < k would CHANGE the length
+        k = min(k, x.shape[0])
+        if k < 3:  # hanning(<3) sums to 0 (zero edges)
+            return x
         kernel = np.hanning(k)
         kernel /= kernel.sum()
         return np.apply_along_axis(

@@ -267,7 +267,7 @@ def refine_sequences_batched(results, seqs, lr: float = 0.001,
                              model=None, prior=None,
                              pad_to_multiple: int = 128,
                              loss_threshold: float = 20000.0,
-                             group_size: int = 16):
+                             group_size: int = 16, mesh=None):
     r"""Refine many sequences with grouped, vmapped LBFGS.
 
     Groups same-padded-length sequences (up to ``group_size``) and runs one
@@ -276,11 +276,26 @@ def refine_sequences_batched(results, seqs, lr: float = 0.001,
     reduction order. The reference's per-frame gate semantics are applied
     per sequence (frame-0 reprojection loss > threshold -> keep the network
     output, run.py:27-29). Returns [(pose, tran)] in input order.
+
+    With ``mesh`` (a 1-D ``jax.sharding.Mesh`` over a ``data`` axis) the
+    lane axis shards over the mesh — each device fits ``group_size/n``
+    sequences of the vmapped program, with no cross-lane communication
+    (lanes are independent), so sharded results equal single-device ones
+    up to float reassociation. ``group_size`` must divide evenly over the
+    mesh (the remainder-group lane padding already guarantees full groups).
     """
     model = model or default_body_model()
     prior = prior or _default_prior()
     vfit = _jitted_fit(model, prior, use_head, 20, lr, opt_steps,
                        batched=True)
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec
+        _lane_sharding = NamedSharding(mesh, PartitionSpec("data"))
+
+        def _put(x):
+            return jax.device_put(jnp.asarray(x), _lane_sharding)
+    else:
+        _put = jnp.asarray
 
     # group indices by padded length
     lengths = {}
@@ -312,8 +327,8 @@ def refine_sequences_batched(results, seqs, lr: float = 0.001,
                              .astype(np.float32) for i in lanes])
             mask[n_real:] = 0.0
             pose_R, tr, before, after = vfit(
-                jnp.asarray(pose0), jnp.asarray(tran0), jnp.asarray(kp),
-                jnp.asarray(ori), jnp.asarray(cam), jnp.asarray(mask))
+                _put(pose0), _put(tran0), _put(kp),
+                _put(ori), _put(cam), _put(mask))
             pose_R, tr = np.asarray(pose_R), np.asarray(tr)
             before = np.asarray(before)
             for k, i in enumerate(group):

