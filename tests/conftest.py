@@ -66,6 +66,7 @@ QUICK_MODULES = {
     "test_preprocess",
     "test_smooth_bbox",
     "test_streaming",
+    "test_doc_claims",
 }
 
 # ---------------------------------------------------------------------------
