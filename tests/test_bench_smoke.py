@@ -356,3 +356,70 @@ class TestParityBounds:
         m = bench._parity_metrics(pose, tran, pose, tran2)
         err = bench._bound_parity(m, 0.01, 0.01)
         assert err is not None and "tran_max" in err
+
+
+class TestWatchdogArtifact:
+    r"""A hard-deadline kill mid-section used to print a bare zero line —
+    the round artifact lost every completed section AND every stored proof.
+    The fallback artifact (bench._watchdog_artifact) must report what
+    completed, mark the in-flight/unreached sections as lost, and attach
+    the committed proof store's last_good for them (TPU runs only)."""
+
+    def _store(self, tmp_path):
+        import json as _json
+        state = str(tmp_path / "state.json")
+        import time as _time
+        now = _time.strftime("%Y-%m-%dT%H:%M:%SZ", _time.gmtime())
+        with open(state, "w") as fh:
+            _json.dump({"train_fps": {"measured_at": now,
+                                      "value": dict(_SIX),
+                                      "device": "TPU v5 lite0"}}, fh)
+        return state
+
+    def test_completed_sections_and_store_carry_survive(self, tmp_path):
+        import bench
+        art = bench._watchdog_artifact(
+            core={"batched_fps": 800000.0, "device_p50_ms": 0.31},
+            sections={"pallas_serve": {"device_p50_serve_bf16_ms": 0.09}},
+            skipped={"int8c_fps": "disabled: BENCH_INT8C=0"},
+            device="TPU v5 lite0", store_path=self._store(tmp_path),
+            hard_s=560.0, seconds={"pallas_serve": 120.0})
+        assert art["value"] == 800000.0 and art["device_p50_ms"] == 0.31
+        assert art["vs_baseline"] > 0
+        assert "hard deadline" in art["error"]
+        e = art["extra"]
+        # the completed section rides along live
+        assert e["pallas_serve"]["device_p50_serve_bf16_ms"] == 0.09
+        # the unreached one is marked lost and carried from the store
+        assert e["train_fps"] is None
+        assert e["sections_skipped"]["train_fps"].startswith("lost:")
+        assert e["last_good"]["train_fps"]["value"] == _SIX
+        # pre-kill skip reasons are preserved, not overwritten with "lost"
+        assert e["sections_skipped"]["int8c_fps"] == "disabled: BENCH_INT8C=0"
+        assert e["section_seconds"] == {"pallas_serve": 120.0}
+
+    def test_no_core_measurements_yields_zero_line_with_carry(self, tmp_path):
+        import bench
+        art = bench._watchdog_artifact(
+            core={}, sections={}, skipped={}, device="TPU v5 lite0",
+            store_path=self._store(tmp_path), hard_s=560.0)
+        assert art["value"] == 0 and art["vs_baseline"] == 0
+        assert art["device_p50_ms"] is None
+        assert art["extra"]["last_good"]["train_fps"]["value"] == _SIX
+
+    def test_cpu_fallback_does_not_dress_with_chip_proof(self, tmp_path):
+        import bench
+        art = bench._watchdog_artifact(
+            core={}, sections={}, skipped={},
+            device="TFRT_CPU_0", store_path=self._store(tmp_path),
+            hard_s=560.0)
+        assert "last_good" not in art["extra"]
+
+    def test_completed_sections_persist_to_the_store(self, tmp_path):
+        import bench
+        import json as _json
+        state = self._store(tmp_path)
+        bench._watchdog_artifact(
+            core={}, sections={"int8c_fps": 1300000.0}, skipped={},
+            device="TPU v5 lite0", store_path=state, hard_s=560.0)
+        assert _json.load(open(state))["int8c_fps"]["value"] == 1300000.0
