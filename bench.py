@@ -163,9 +163,10 @@ def _measure_reference_cpu_fps(j2dc, accc, oric, n_frames=40):
 # driver may run in a freshly recreated workspace, where a gitignored state
 # file would silently erase every carried proof (VERDICT r4 weak 3).
 _CARRIED_SECTIONS = (
-    "device_p50_bf16_ms", "tunnel_per_dispatch_p50_ms", "smplify_refine_fps",
-    "int8c_fps", "batched_bf16_fps", "train_fps", "pallas", "multistream",
-    "pallas_tail", "pallas_serve", "serving_bundle", "serving_bundle_chunk",
+    "headline", "device_p50_bf16_ms", "tunnel_per_dispatch_p50_ms",
+    "smplify_refine_fps", "int8c_fps", "batched_bf16_fps", "train_fps",
+    "pallas", "multistream", "pallas_tail", "pallas_serve",
+    "serving_bundle", "serving_bundle_chunk",
 )
 
 # completeness floor per section: a deadline-truncated partial result (e.g.
@@ -174,6 +175,7 @@ _CARRIED_SECTIONS = (
 # _carry_forward_sections handles shrinkage against an existing store; this
 # map additionally rejects partials when the store is still empty.
 _SECTION_REQUIRED_KEYS = {
+    "headline": frozenset(("batched_fps", "device_p50_ms")),
     "train_fps": frozenset(
         ("rnn2", "rnn3", "rnn4", "rnn6", "rnn7", "rnn8")),
     "serving_bundle": frozenset(("export_ok", "load_run_ok")),
@@ -337,6 +339,13 @@ def _watchdog_artifact(core, sections, skipped, device, store_path, hard_s,
     the driver an evidence-bearing line. Completed sections also persist to
     the store (they are real chip proofs)."""
     skipped = dict(skipped or {})
+    sections = dict(sections)
+    if core.get("batched_fps") and core.get("device_p50_ms"):
+        # the headline itself is a carried section: a kill before the core
+        # completes still surfaces the last proven headline as evidence
+        sections["headline"] = {
+            "batched_fps": round(core["batched_fps"], 1),
+            "device_p50_ms": round(core["device_p50_ms"], 4)}
     err = (f"hard deadline {hard_s:.0f}s exceeded — backend hang (tunnel "
            "outage?); completed sections attached, unfinished ones carried "
            "from the committed proof store")
@@ -1469,6 +1478,11 @@ def main():
             "section_seconds": section_seconds or None,
             "batch": B, "frames": T,
             "device": str(jax.devices()[0]),
+            # duplicate of the top-level headline numbers, present so the
+            # carry-forward can persist them: a future watchdog-killed run
+            # then surfaces the last proven headline under last_good
+            "headline": {"batched_fps": round(batched_fps, 1),
+                         "device_p50_ms": round(device_p50_ms, 4)},
         },
     }
     # TPU runs only: a CPU run (tunnel-down fallback, or the CI smoke

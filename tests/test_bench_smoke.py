@@ -388,6 +388,9 @@ class TestWatchdogArtifact:
         assert art["vs_baseline"] > 0
         assert "hard deadline" in art["error"]
         e = art["extra"]
+        # the measured core rides along as a carried "headline" section
+        assert e["headline"] == {"batched_fps": 800000.0,
+                                 "device_p50_ms": 0.31}
         # the completed section rides along live
         assert e["pallas_serve"]["device_p50_serve_bf16_ms"] == 0.09
         # the unreached one is marked lost and carried from the store
@@ -423,3 +426,22 @@ class TestWatchdogArtifact:
             core={}, sections={"int8c_fps": 1300000.0}, skipped={},
             device="TPU v5 lite0", store_path=state, hard_s=560.0)
         assert _json.load(open(state))["int8c_fps"]["value"] == 1300000.0
+
+    def test_headline_is_carried_when_core_never_completed(self, tmp_path):
+        r"""A kill BEFORE the headline finishes must surface the last
+        proven headline under last_good (the top-level value honestly
+        stays 0 — it was not measured this run)."""
+        import bench
+        state = self._store(tmp_path)
+        # run 1: core completed, then killed — headline persists to store
+        bench._watchdog_artifact(
+            core={"batched_fps": 800000.0, "device_p50_ms": 0.31},
+            sections={}, skipped={}, device="TPU v5 lite0",
+            store_path=state, hard_s=560.0)
+        # run 2: killed before the core — carried headline is the evidence
+        art = bench._watchdog_artifact(
+            core={}, sections={}, skipped={}, device="TPU v5 lite0",
+            store_path=state, hard_s=560.0)
+        assert art["value"] == 0
+        assert art["extra"]["last_good"]["headline"]["value"] == {
+            "batched_fps": 800000.0, "device_p50_ms": 0.31}
