@@ -122,9 +122,9 @@ def test_pallas_section_reports_parity_and_timings(bench_env):
 
 def test_multistream_section_reports_per_stream_cost(bench_env):
     bench_env.setenv("BENCH_MULTISTREAM", "1")
-    # the section deliberately runs LAST, so on a degraded 1-vCPU host the
-    # fixture's 200 s soft deadline can expire before it — not what this
-    # test is probing
+    # on a degraded 1-vCPU host the fixture's 200 s soft deadline can
+    # expire before the plan reaches this section — not what this test
+    # is probing
     bench_env.setenv("BENCH_DEADLINE_S", "900")
     out = _run_main()
     ms = out["extra"]["multistream"]
