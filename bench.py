@@ -365,11 +365,11 @@ def _watchdog_artifact(core, sections, skipped, device, store_path, hard_s,
         except Exception:  # noqa: BLE001 - provenance is best-effort
             pass
     extra["sections_skipped"] = skipped or None
-    val = core.get("batched_fps")
+    val = round(core["batched_fps"], 1) if core.get("batched_fps") else 0
     p50 = core.get("device_p50_ms")
     return {
         "metric": "aist_batched_eval_throughput",
-        "value": round(val, 1) if val else 0,
+        "value": val,
         "unit": "frames/sec",
         "vs_baseline": round(val / PINNED_BASELINE_FPS, 2) if val else 0,
         "device_p50_ms": round(p50, 4) if p50 else None,
@@ -1452,13 +1452,16 @@ def main():
         return None if val is None else round(val, nd)
 
     train_fps = results["train_fps"] or {}
+    # the multiplier divides the REPORTED (rounded) value so the artifact
+    # is self-consistent: value/vs_baseline must agree to the last digit
+    headline_fps = round(batched_fps, 1)
     result = {
         "metric": "aist_batched_eval_throughput",
-        "value": round(batched_fps, 1),
+        "value": headline_fps,
         "unit": "frames/sec",
         # headline multiplier vs the PINNED healthy-host reference number
         # (VERDICT r3 item 5) — no longer a function of VM degradation
-        "vs_baseline": round(batched_fps / PINNED_BASELINE_FPS, 2),
+        "vs_baseline": round(headline_fps / PINNED_BASELINE_FPS, 2),
         "device_p50_ms": round(device_p50_ms, 4),
         "extra": {
             "baseline_fps_pinned": PINNED_BASELINE_FPS,
@@ -1489,7 +1492,7 @@ def main():
             # duplicate of the top-level headline numbers, present so the
             # carry-forward can persist them: a future watchdog-killed run
             # then surfaces the last proven headline under last_good
-            "headline": {"batched_fps": round(batched_fps, 1),
+            "headline": {"batched_fps": headline_fps,
                          "device_p50_ms": round(device_p50_ms, 4)},
         },
     }
