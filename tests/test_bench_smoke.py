@@ -290,6 +290,27 @@ class TestSectionCarryForward:
         assert stored["device_p50_serve_int8_ms"] == 0.04
         assert narrow["last_good"]["pallas_serve"]["value"] == stored
 
+    def test_suspect_device_timing_is_not_proof(self, tmp_path):
+        r"""A bundle whose differenced device timing failed the
+        plausibility floor (relay ack'd without executing — observed
+        0.0009 ms "device" samples) records device_timing_ok:false and
+        must neither persist nor block carrying the honest stored proof."""
+        import bench
+        import json as _json
+        state = str(tmp_path / "state.json")
+        good = {"serving_bundle": {"export_ok": True, "load_run_ok": True,
+                                   "device_p50_ms": 0.2995}}
+        bench._carry_forward_sections(good, state)
+        fake = {"serving_bundle": {"export_ok": True, "load_run_ok": True,
+                                   "device_p50_ms": None,
+                                   "device_timing_ok": False,
+                                   "device_timing_note": "below floor"}}
+        bench._carry_forward_sections(fake, state)
+        assert fake["last_good"]["serving_bundle"]["value"][
+            "device_p50_ms"] == 0.2995
+        assert _json.load(open(state))["serving_bundle"]["value"][
+            "device_p50_ms"] == 0.2995
+
     def test_stale_stored_proof_is_not_carried(self, tmp_path):
         r"""VERDICT r4 weak 3: a last_good from an earlier round must not
         silently satisfy this one — age-bounded, with the rejection
